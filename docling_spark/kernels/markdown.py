@@ -1,0 +1,270 @@
+"""Document-IR -> Markdown serializer.
+
+Re-creates the observable behavior of the reference's
+``DoclingDocument.export_to_markdown()`` (docling-core dependency, not
+vendored in the reference repo), reverse-engineered from the committed
+golden fixtures ``/root/reference/tests/data/groundtruth/docling_v2/
+*.html.md`` (the byte-identity target, see
+/root/reference/tests/test_backend_html.py:156-183 and
+tests/verify_utils.py:500-511):
+
+* body layer only by default; furniture opt-in;
+* top-level blocks joined with a blank line;
+* title ``# ``, section header level N -> ``#`` x (N+1);
+* inline groups joined with a single space (producing the
+  characteristic `` .`` before punctuation);
+* bold ``**``, italic ``*``, strikethrough ``~~``, underline/sub/sup
+  dropped; hyperlinks ``[text](url)``; underscores escaped in text;
+* list items ``- `` / ``{n}. `` with 4-space indent per nested list
+  group; enumerated items use their stored marker, else their ordinal;
+* code: fenced block standalone, single backticks in inline scope;
+* pictures: optional caption text + ``<!-- image -->``;
+* tables: padded github-style pipe grid with numeric right-alignment
+  (tabulate-compatible: column width >= header width + 2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .doc_model import (
+    BODY,
+    CAPTION,
+    CODE,
+    G_INLINE,
+    G_LIST,
+    G_SECTION,
+    GROUP,
+    LIST_ITEM,
+    PICTURE,
+    SECTION_HEADER,
+    TABLE,
+    TEXT,
+    TITLE,
+    Doc,
+    DocNode,
+    TableDataIR,
+)
+
+_INDENT = "    "
+
+
+def _escape_text(text: str) -> str:
+    """Escape markdown-significant underscores and HTML specials
+    (observed in wiki_duck.html.md: ``10.1007/978-1-4615-6787-5\\_4`` in
+    link text while the URL stays unescaped; ``&`` rendered ``&amp;`` in
+    text items but not in table cells or code)."""
+    text = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return text.replace("_", "\\_")
+
+
+def _render_inline(node: DocNode) -> str:
+    """Render a text-like item with formatting + hyperlink markers."""
+    if node.kind == CODE:
+        return f"`{node.text}`"
+    text = _escape_text(node.text)
+    f = node.formatting
+    if f is not None and text:
+        if f.bold:
+            text = f"**{text}**"
+        if f.italic:
+            text = f"*{text}*"
+        if f.strikethrough:
+            text = f"~~{text}~~"
+    if node.hyperlink and text:
+        text = f"[{text}]({node.hyperlink})"
+    return text
+
+
+# ---------------------------------------------------------------- tables
+
+
+def _is_number(s: str) -> bool:
+    if not s:
+        return False
+    try:
+        float(s)
+    except ValueError:
+        try:
+            int(s, 16) if s.lower().startswith("0x") else int(s)
+        except ValueError:
+            return False
+        return True
+    return s.lower() not in ("inf", "-inf", "nan")
+
+
+def _format_number(s: str) -> str:
+    try:
+        int(s)
+        return str(int(s))
+    except ValueError:
+        return format(float(s), "g")
+
+
+def render_table(table: TableDataIR) -> str:
+    grid = table.grid()
+    if not grid or table.num_cols == 0:
+        return ""
+    grid = [[cell.replace("\n", " ") for cell in row] for row in grid]
+    headers = grid[0]
+    body = grid[1:]
+
+    ncols = table.num_cols
+    numeric = []
+    for c in range(ncols):
+        vals = [row[c] for row in body if row[c] != ""]
+        numeric.append(bool(vals) and all(_is_number(v) for v in vals))
+
+    cells: list[list[str]] = []
+    for row in body:
+        cells.append(
+            [
+                _format_number(row[c]) if numeric[c] and row[c] != "" else row[c]
+                for c in range(ncols)
+            ]
+        )
+
+    widths = []
+    for c in range(ncols):
+        w = len(headers[c]) + 2  # tabulate MIN_PADDING on headers
+        for row in cells:
+            w = max(w, len(row[c]))
+        widths.append(w)
+
+    def fmt_row(row: list[str]) -> str:
+        out = []
+        for c in range(ncols):
+            if numeric[c]:
+                out.append(row[c].rjust(widths[c]))
+            else:
+                out.append(row[c].ljust(widths[c]))
+        return "| " + " | ".join(out) + " |"
+
+    lines = [fmt_row(headers)]
+    lines.append("|" + "|".join("-" * (w + 2) for w in widths) + "|")
+    for row in cells:
+        lines.append(fmt_row(row))
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------- serializer
+
+
+class MarkdownSerializer:
+    def __init__(self, doc: Doc, layers: Optional[set] = None):
+        self.doc = doc
+        self.layers = layers or {BODY}
+        # caption items referenced by pictures are rendered inside the
+        # picture block, never standalone
+        self.caption_refs = {
+            n.caption_id for n in doc.nodes if n.kind == PICTURE and n.caption_id >= 0
+        }
+
+    def _visible(self, node: DocNode) -> bool:
+        return node.content_layer in self.layers and node.node_id not in self.caption_refs
+
+    def serialize(self) -> str:
+        blocks: list[str] = []
+        for child in self.doc.children_of(None):
+            if self._visible(child):
+                blocks.extend(self._ser(child, 0))
+        return "\n\n".join(b for b in blocks if b)
+
+    # returns a list of top-level blocks for this node (and its subtree)
+    def _ser(self, node: DocNode, list_depth: int) -> list[str]:
+        kind = node.kind
+        doc = self.doc
+
+        if kind == GROUP:
+            if node.group_label == G_LIST:
+                lines = self._ser_list(node, list_depth)
+                return ["\n".join(lines)] if lines else []
+            if node.group_label == G_INLINE:
+                joined = " ".join(
+                    _render_inline(c) for c in doc.children_of(node) if self._visible(c)
+                )
+                return [joined] if joined else []
+            # section / generic groups: flatten children
+            out: list[str] = []
+            for c in doc.children_of(node):
+                if self._visible(c):
+                    out.extend(self._ser(c, list_depth))
+            return out
+
+        if kind == TITLE:
+            blocks = [f"# {_render_inline(node)}"]
+        elif kind == SECTION_HEADER:
+            blocks = [f"{'#' * (node.level + 1)} {_render_inline(node)}"]
+        elif kind in (TEXT, CAPTION, LIST_ITEM):
+            r = _render_inline(node)
+            blocks = [r] if r else []
+        elif kind == CODE:
+            blocks = [f"```\n{node.text}\n```"]
+        elif kind == PICTURE:
+            parts = []
+            if node.caption_id >= 0:
+                cap = doc.nodes[node.caption_id]
+                cap_text = _escape_text(cap.text)
+                if cap_text:
+                    parts.append(cap_text)
+            parts.append("<!-- image -->")
+            blocks = ["\n\n".join(parts)]
+        elif kind == TABLE:
+            rendered = render_table(node.table) if node.table else ""
+            blocks = [rendered] if rendered else []
+        else:
+            blocks = []
+
+        for c in doc.children_of(node):
+            if self._visible(c):
+                blocks.extend(self._ser(c, list_depth))
+        return blocks
+
+    def _ser_list(self, group: DocNode, depth: int) -> list[str]:
+        doc = self.doc
+        indent = _INDENT * depth
+        lines: list[str] = []
+        ordinal = 0
+        for child in doc.children_of(group):
+            if not self._visible(child):
+                continue
+            if child.kind == LIST_ITEM:
+                ordinal += 1
+                if child.enumerated:
+                    marker = child.marker if child.marker else f"{ordinal}."
+                else:
+                    marker = "-"
+                segs = []
+                head = _render_inline(child)
+                if head:
+                    segs.append(head)
+                tail_lines: list[str] = []
+                for sub in doc.children_of(child):
+                    if not self._visible(sub):
+                        continue
+                    if sub.kind == GROUP and sub.group_label == G_INLINE:
+                        joined = " ".join(
+                            _render_inline(c)
+                            for c in doc.children_of(sub)
+                            if self._visible(c)
+                        )
+                        if joined:
+                            segs.append(joined)
+                    elif sub.kind == GROUP and sub.group_label == G_LIST:
+                        tail_lines.extend(self._ser_list(sub, depth + 1))
+                    else:
+                        for block in self._ser(sub, depth + 1):
+                            tail_lines.append(block)
+                lines.append(f"{indent}{marker} {' '.join(segs)}".rstrip())
+                lines.extend(tail_lines)
+            elif child.kind == GROUP and child.group_label == G_LIST:
+                lines.extend(self._ser_list(child, depth + 1))
+            else:
+                for block in self._ser(child, depth):
+                    lines.append(block)
+        return lines
+
+
+def to_markdown(doc: Doc, include_furniture: bool = False) -> str:
+    layers = {BODY, "furniture"} if include_furniture else {BODY}
+    return MarkdownSerializer(doc, layers).serialize()
