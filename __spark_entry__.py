@@ -1,38 +1,439 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline; ``queries`` exposes one
+entry per implemented operator family (SURVEY.md §2 + the training-data
+pipeline operators); ``oracle_sql`` gives the DuckDB twin for every
+SQL-expressible query (identical column names + deterministic values:
+integer-exact reductions, exact percentiles, rounded scalar math).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus forced exact duplicates (doc_id % 17) so the
+    dedup operators have real work on the synthetic corpus."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the Common-Crawl-style pages table from the
+    sf0.001 documents parquet and run HTML extraction end-to-end."""
+    from docling_spark.operators.extract import extract_pages
+    from docling_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001")
+    res = extract_pages(pages, num_partitions=8)
+    return res.select(
+        "url", "warc_ts", "status", "n_nodes", "n_spans", "bytes_in", "md", "txt"
+    )
+
+
+# --------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from docling_spark.operators import (
+        dedup,
+        extract,
+        formats,
+        multimodal,
+        similarity,
+        text_analysis,
+    )
+    from docling_spark.sources.pages import synthesize_pages
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction family (kernel output; rows-only checks) ----
+    def x_extract(spark, sf_dir):
+        pages = synthesize_pages(spark, sf_dir)
+        return extract.extract_pages(pages).select(
+            "url", "status", "n_nodes", "n_spans", "bytes_in", "md"
+        ).orderBy("url")
+
+    def x_extract_status(spark, sf_dir):
+        pages = synthesize_pages(spark, sf_dir)
+        res = extract.extract_pages(pages)
+        return res.groupBy("status").agg(
+            F.count("*").alias("n_docs"), F.sum("bytes_in").alias("total_bytes")
+        ).orderBy("status")
+
+    def x_format_rollup(spark, sf_dir):
+        pages = synthesize_pages(spark, sf_dir)
+        return formats.format_rollup(pages)
+
+    def x_limits_gate(spark, sf_dir):
+        pages = synthesize_pages(spark, sf_dir)
+        return (
+            formats.limits_gate(pages, max_bytes=512 << 10)
+            .groupBy("gate_status")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("gate_status")
+        )
+
+    def x_minhash_pairs(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+    def x_simhash_pairs(spark, sf_dir):
+        return dedup.simhash_near_pairs(_docs(spark, sf_dir))
+
+    def x_lsh_topk(spark, sf_dir):
+        return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, n_bits=8)
+
+    def x_media_rollup(spark, sf_dir):
+        media = multimodal.synth_media(spark, 256)
+        return multimodal.media_rollup(multimodal.extract_media_features(media))
+
+    # ---- SQL-expressible family (DuckDB-oracled) ----
+    def q_token_stats(spark, sf_dir):
+        return text_analysis.token_stats(_docs(spark, sf_dir))
+
+    def q_quality_rollup(spark, sf_dir):
+        return text_analysis.quality_rollup(_docs(spark, sf_dir))
+
+    def q_langid_rollup(spark, sf_dir):
+        return text_analysis.language_id_rollup(_docs(spark, sf_dir))
+
+    def q_fingerprints(spark, sf_dir):
+        return text_analysis.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def q_dedup_exact(spark, sf_dir):
+        return dedup.exact_dup_groups(_corpus_with_dups(spark, sf_dir))
+
+    def q_jaccard_pairs(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.95)
+
+    def q_near_dup_embeddings(spark, sf_dir):
+        return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
+
+    def q_ann_topk(spark, sf_dir):
+        return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+    def q_pricing_summary(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("sum_base_cents"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).alias("sum_disc_cents"),
+                F.count("*").alias("n_items"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q_region_revenue(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.countDistinct("o_orderkey").alias("n_orders"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).alias("revenue_cents"),
+            )
+            .orderBy("r_name")
+        )
+
+    def q_top_customers(spark, sf_dir):
+        from pyspark.sql import Window
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        rev = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_custkey", "c_mktsegment")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                ).alias("revenue_cents")
+            )
+        )
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.desc("revenue_cents"), F.asc("c_custkey")
+        )
+        return (
+            rev.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("c_mktsegment", F.col("rnk").cast("int").alias("rnk"),
+                    "c_custkey", "revenue_cents")
+            .orderBy("c_mktsegment", "rnk")
+        )
+
+    def q_events_stats(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count_distinct("user_id").alias("n_users"),
+                F.round(F.expr("percentile(value, 0.5d)"), 6).alias("median_value"),
+                F.round(F.max("value"), 6).alias("max_value"),
+            )
+            .orderBy("event_type")
+        )
+
+    def q_resume_antijoin(spark, sf_dir):
+        docs = _docs(spark, sf_dir)
+        done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        return (
+            docs.join(done, "doc_id", "left_anti")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_pending"))
+            .orderBy("lang")
+        )
+
+    return {
+        "x_extract": x_extract,
+        "x_extract_status": x_extract_status,
+        "x_format_rollup": x_format_rollup,
+        "x_limits_gate": x_limits_gate,
+        "x_minhash_pairs": x_minhash_pairs,
+        "x_simhash_pairs": x_simhash_pairs,
+        "x_lsh_topk": x_lsh_topk,
+        "x_media_rollup": x_media_rollup,
+        "q_token_stats": q_token_stats,
+        "q_quality_rollup": q_quality_rollup,
+        "q_langid_rollup": q_langid_rollup,
+        "q_fingerprints": q_fingerprints,
+        "q_dedup_exact": q_dedup_exact,
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_near_dup_embeddings": q_near_dup_embeddings,
+        "q_ann_topk": q_ann_topk,
+        "q_pricing_summary": q_pricing_summary,
+        "q_region_revenue": q_region_revenue,
+        "q_top_customers": q_top_customers,
+        "q_events_stats": q_events_stats,
+        "q_resume_antijoin": q_resume_antijoin,
+    }
+
+
+# ------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_ws = (
+        "case when length(trim(text)) = 0 then 0 "
+        "else len(string_split_regex(trim(text), '\\s+')) end"
+    )
+    return {
+        "q_token_stats": f"""
+            with t as (
+              select lang,
+                {n_ws} as n_ws,
+                len(regexp_extract_all(trim(text),
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) as n_bpe
+              from documents)
+            select lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_ws) as bigint) as sum_tokens_ws,
+                   cast(sum(n_bpe) as bigint) as sum_tokens_bpe,
+                   round(avg(n_ws), 4) as avg_tokens_ws
+            from t group by lang order by lang
+        """,
+        "q_quality_rollup": f"""
+            with q as (
+              select lang,
+                length(text) as n_chars_c,
+                {n_ws} as n_tokens,
+                length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) as n_punct,
+                len(regexp_extract_all(text, '\\b(the|and|of|a|to|in)\\b')) as n_stop,
+                length(regexp_replace(text, '\\s+', '', 'g')) as n_nonws
+              from documents),
+            r as (
+              select lang,
+                round(n_punct / greatest(n_chars_c, 1), 6) as punct_ratio,
+                round(n_stop / greatest(n_tokens, 1), 6) as stopword_ratio,
+                round(n_nonws / greatest(n_tokens, 1), 6) as mean_token_len,
+                n_tokens
+              from q)
+            select lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(case when n_tokens >= 10 and mean_token_len >= 2
+                             and mean_token_len <= 12 and punct_ratio <= 0.2
+                             then 1 else 0 end) as bigint) as n_keep,
+                   round(avg(punct_ratio), 6) as avg_punct_ratio,
+                   round(avg(stopword_ratio), 6) as avg_stopword_ratio
+            from r group by lang order by lang
+        """,
+        "q_langid_rollup": """
+            with s as (
+              select lang,
+                len(regexp_extract_all(lower(text), '\\b(the|and|of)\\b')) as s_en,
+                len(regexp_extract_all(lower(text), '\\b(der|und|die)\\b')) as s_de,
+                len(regexp_extract_all(lower(text), '\\b(le|et|les)\\b')) as s_fr,
+                len(regexp_extract_all(lower(text), '\\b(el|y|los)\\b')) as s_es
+              from documents),
+            p as (
+              select lang,
+                case when greatest(s_en, s_de, s_fr, s_es) = 0 then 'unk'
+                     when s_en = greatest(s_en, s_de, s_fr, s_es) then 'en'
+                     when s_de = greatest(s_en, s_de, s_fr, s_es) then 'de'
+                     when s_fr = greatest(s_en, s_de, s_fr, s_es) then 'fr'
+                     else 'es' end as pred_lang
+              from s)
+            select lang, pred_lang, cast(count(*) as bigint) as n_docs
+            from p group by lang, pred_lang order by lang, pred_lang
+        """,
+        "q_fingerprints": """
+            select doc_id, md5(text) as fp_md5,
+                   cast(floor(length(text) / 64) as bigint) as len_bucket
+            from documents order by doc_id
+        """,
+        "q_dedup_exact": """
+            with corpus as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 1000000 as doc_id, text from documents
+              where doc_id % 17 = 0)
+            select md5(text) as fp_md5,
+                   cast(count(*) as bigint) as n_dups,
+                   min(doc_id) as keeper_doc_id
+            from corpus group by md5(text)
+            having count(*) > 1 order by fp_md5
+        """,
+        "q_jaccard_pairs": """
+            with toks as (
+              select doc_id,
+                     unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) as token
+              from documents where trim(text) != ''),
+            sizes as (select doc_id, cast(count(*) as bigint) as sz from toks group by doc_id),
+            inter as (
+              select a.doc_id as doc_a, b.doc_id as doc_b,
+                     cast(count(*) as bigint) as n_inter
+              from toks a join toks b using (token)
+              where a.doc_id < b.doc_id
+              group by a.doc_id, b.doc_id)
+            select doc_a, doc_b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) as jaccard
+            from inter
+            join sizes sa on doc_a = sa.doc_id
+            join sizes sb on doc_b = sb.doc_id
+            where n_inter / (sa.sz + sb.sz - n_inter) >= 0.95
+            order by doc_a, doc_b
+        """,
+        "q_near_dup_embeddings": """
+            with e as (
+              select vec_id, embedding::DOUBLE[] as v,
+                     sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) as norm
+              from embeddings)
+            select a.vec_id as vec_a, b.vec_id as vec_b,
+                   round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) as cos_sim
+            from e a, e b
+            where a.vec_id < b.vec_id
+              and list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.3
+            order by vec_a, vec_b
+        """,
+        "q_ann_topk": """
+            with e as (
+              select vec_id, embedding::DOUBLE[] as v,
+                     sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) as norm
+              from embeddings),
+            q as (select vec_id as query_id, v as qv, norm as qnorm
+                  from e where vec_id in (0, 1, 2, 3, 4)),
+            s as (
+              select q.query_id, e.vec_id,
+                     list_dot_product(e.v, q.qv) / (e.norm * q.qnorm) as cos
+              from e, q where e.vec_id != q.query_id),
+            r as (
+              select query_id, vec_id, cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, vec_id asc) as rnk
+              from s)
+            select query_id, cast(rnk as int) as rank,
+                   vec_id as neighbor_id, round(cos, 4) as cos_sim
+            from r where rnk <= 10 order by query_id, rank
+        """,
+        "q_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   cast(sum(l_quantity) as bigint) as sum_qty,
+                   cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint) as sum_base_cents,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) as sum_disc_cents,
+                   cast(count(*) as bigint) as n_items
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """,
+        "q_region_revenue": """
+            select r_name,
+                   cast(count(distinct o_orderkey) as bigint) as n_orders,
+                   cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) as revenue_cents
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name order by r_name
+        """,
+        "q_top_customers": """
+            with rev as (
+              select c_custkey, c_mktsegment,
+                     cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)) as bigint) as revenue_cents
+              from lineitem
+              join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+              group by c_custkey, c_mktsegment),
+            r as (
+              select *, row_number() over (partition by c_mktsegment
+                                           order by revenue_cents desc, c_custkey asc) as rnk
+              from rev)
+            select c_mktsegment, cast(rnk as int) as rnk, c_custkey, revenue_cents
+            from r where rnk <= 3 order by c_mktsegment, rnk
+        """,
+        "q_events_stats": """
+            select event_type,
+                   cast(count(*) as bigint) as n_events,
+                   cast(count(distinct user_id) as bigint) as n_users,
+                   round(quantile_cont(value, 0.5), 6) as median_value,
+                   round(max(value), 6) as max_value
+            from events group by event_type order by event_type
+        """,
+        "q_resume_antijoin": """
+            select lang, cast(count(*) as bigint) as n_pending
+            from documents
+            where doc_id not in (select doc_id from documents where doc_id % 7 = 0)
+            group by lang order by lang
+        """,
+    }

