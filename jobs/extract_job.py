@@ -1,0 +1,134 @@
+"""Production extraction job — the spark-submit entry point.
+
+North-rule surface (BASELINE.json): partition-parallel DataFrame job
+over a Common-Crawl-style pages table, launched as::
+
+    python jobs/package_pyfiles.py                       # -> dist/docling_spark.zip
+    spark-submit --py-files dist/docling_spark.zip \
+        jobs/extract_job.py \
+        --input  /data/pages            # parquet dir or iceberg table \
+        --output /data/extracted \
+        --lineage /data/lineage \
+        --metrics /data/metrics \
+        --partitions 2048 --attempt 1 --resume
+
+Replaces the reference's CLI driver (/root/reference/docling/cli/main.py:286+
+``docling <source> --output ...``) and its in-process batching/thread model
+(/root/reference/docling/document_converter.py:309-345) with:
+
+* one explicit url-hash repartition (the only shuffle in the hot path);
+* errors-as-data rows (reference raises_on_error=False semantics,
+  document_converter.py:264-279);
+* per-partition lineage append -> idempotent resume via left_anti join;
+* per-doc metrics rows -> metrics table (reference: utils/profiling.py).
+
+At 10^12-document scale the same job runs unchanged: --input becomes an
+Iceberg table, --partitions scales with cluster cores, and a preempted
+run restarts with --resume --attempt N+1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+# spark-submit --py-files ships docling_spark.zip; when run from the repo
+# (tests, local dev) fall back to the source tree.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="docling-spark extraction job")
+    p.add_argument("--input", required=True, help="pages parquet dir or iceberg table")
+    p.add_argument("--output", required=True, help="results parquet dir")
+    p.add_argument("--lineage", required=True, help="lineage table dir (append)")
+    p.add_argument("--metrics", default=None, help="metrics table dir (append)")
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--attempt", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="left_anti-filter urls already successful in lineage")
+    p.add_argument("--format", default="parquet", choices=("parquet", "iceberg"))
+    p.add_argument("--limit-bytes", type=int, default=64 << 20,
+                   help="max html size; larger rows become status='skipped'")
+    return p
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from docling_spark.operators.extract import extract_pages, metrics_table
+    from docling_spark.operators.formats import limits_gate
+    from docling_spark.operators.lineage import resume_filter, write_lineage
+
+    if args.format == "iceberg":
+        pages = spark.read.format("iceberg").load(args.input)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    # limits gate first (reference: DocumentLimits, datamodel/document.py:116-181)
+    gated = limits_gate(pages, max_bytes=args.limit_bytes)
+    skipped = gated.filter(F.col("gate_status") == "skipped")
+    pages_ok = gated.filter(F.col("gate_status") == "accepted").drop("gate_status")
+
+    if args.resume:
+        pages_ok = resume_filter(pages_ok, spark, args.lineage)
+
+    t0 = time.perf_counter()
+    results = extract_pages(pages_ok, num_partitions=args.partitions)
+
+    # one materialization, three outputs: results, lineage, metrics.
+    # persist() avoids re-running the extraction kernel per sink.
+    results.persist()
+    n_out = results.count()
+    t_extract = time.perf_counter() - t0
+
+    results.write.mode("append").parquet(args.output)
+    write_lineage(results, args.lineage, attempt=args.attempt)
+    if args.metrics:
+        metrics_table(results).write.mode("append").parquet(args.metrics)
+
+    # skipped rows are lineage-recorded too so resume never retries them
+    n_skipped = skipped.count()
+    if n_skipped:
+        skipped_lineage = skipped.select(
+            "url",
+            F.spark_partition_id().alias("partition_id"),
+            F.lit(args.attempt).alias("attempt"),
+            F.lit("skipped").alias("status"),
+            F.current_timestamp().alias("batch_ts"),
+        )
+        skipped_lineage.write.mode("append").parquet(args.lineage)
+
+    n_fail = results.filter(F.col("status") == "failure").count()
+    results.unpersist()
+    return {
+        "n_extracted": n_out,
+        "n_failed": n_fail,
+        "n_skipped": n_skipped,
+        "t_extract_sec": round(t_extract, 3),
+        "docs_per_sec": round(n_out / t_extract, 1) if t_extract > 0 else None,
+        "attempt": args.attempt,
+    }
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    args = build_parser().parse_args()
+    spark = (
+        SparkSession.builder.appName("docling-spark-extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    stats = run(spark, args)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

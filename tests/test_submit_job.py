@@ -1,0 +1,89 @@
+"""North-rule launch surface: the job must run via spark-submit
+--py-files (BASELINE.json north_rule), write results + lineage +
+metrics tables, and resume idempotently from lineage.
+
+Reference contrast: docling's CLI (/root/reference/docling/cli/main.py)
+is a single-process driver with no resume; ConversionStatus lives only
+for the run (datamodel/base_models.py:48-54).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(pyspark.__path__[0], "bin", "spark-submit")
+
+
+def _run_job(zip_path, input_dir, out, lineage, metrics=None, resume=False, attempt=0):
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", str(zip_path),
+        str(REPO / "jobs" / "extract_job.py"),
+        "--input", str(input_dir),
+        "--output", str(out),
+        "--lineage", str(lineage),
+        "--partitions", "8",
+        "--attempt", str(attempt),
+    ]
+    if metrics:
+        cmd += ["--metrics", str(metrics)]
+    if resume:
+        cmd += ["--resume"]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600, cwd=str(REPO)
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    stats_line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(stats_line)
+
+
+@pytest.fixture(scope="module")
+def pages_input(spark, tmp_path_factory):
+    from docling_spark.sources.pages import synthesize_pages
+
+    path = tmp_path_factory.mktemp("pages") / "pages"
+    synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=48).write.mode(
+        "overwrite"
+    ).parquet(str(path))
+    return path
+
+
+def test_spark_submit_pyfiles_and_resume(spark, pages_input, tmp_path):
+    zip_path = tmp_path / "docling_spark.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "package_pyfiles.py"), str(zip_path)],
+        check=True,
+    )
+    out, lineage, metrics = tmp_path / "out", tmp_path / "lineage", tmp_path / "metrics"
+
+    stats = _run_job(zip_path, pages_input, out, lineage, metrics=metrics)
+    assert stats["n_extracted"] == 48
+    assert stats["n_failed"] == 0
+
+    res = spark.read.parquet(str(out))
+    assert res.count() == 48
+    assert res.filter(res.status == "success").count() == 48
+    lin = spark.read.parquet(str(lineage))
+    assert lin.select("url").distinct().count() == 48
+    met = spark.read.parquet(str(metrics))
+    assert met.count() == 48
+    assert set(met.columns) >= {"url", "stage", "t_sec", "bytes_in"}
+
+    # resume: second attempt must process zero documents
+    stats2 = _run_job(zip_path, pages_input, out, lineage, resume=True, attempt=1)
+    assert stats2["n_extracted"] == 0
+    # results table unchanged (append of empty frame)
+    assert spark.read.parquet(str(out)).count() == 48
