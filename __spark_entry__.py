@@ -55,8 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_spark.operators import (
+        chunks,
+        convert,
         dedup,
         extract,
+        extract_pdf,
         formats,
         multimodal,
         similarity,
@@ -103,6 +106,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def x_media_rollup(spark, sf_dir):
         media = multimodal.synth_media(spark, 256)
         return multimodal.media_rollup(multimodal.extract_media_features(media))
+
+    def x_pdf_extract(spark, sf_dir):
+        from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+        pdfs = synthesize_pdf_pages(spark, sf_dir, n_docs=200)
+        res = extract_pdf.extract_pdf_docs(pdfs, num_partitions=16)
+        return res.select(
+            "url", "status", "n_pages", "n_nodes", "parse_score", "md"
+        ).orderBy("url")
+
+    def x_pdf_confidence(spark, sf_dir):
+        from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+        pdfs = synthesize_pdf_pages(spark, sf_dir, n_docs=200)
+        pages = extract_pdf.parse_pdf_page_rows(pdfs)
+        return extract_pdf.confidence_rollup(pages).orderBy("url")
+
+    def x_chunks(spark, sf_dir):
+        pages = synthesize_pages(spark, sf_dir)
+        ch = chunks.chunk_pages(pages, mode="hybrid", max_tokens=128)
+        return chunks.chunk_stats(ch)
+
+    def x_convert_mixed(spark, sf_dir):
+        """S4 routing over a mixed html/pdf/csv corpus."""
+        from pyspark.sql import functions as F
+
+        from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+        html = synthesize_pages(spark, sf_dir).limit(200).select("url", "html")
+        pdf = (
+            synthesize_pdf_pages(spark, sf_dir, n_docs=100)
+            .select("url", F.col("content").alias("html"))
+        )
+        csvs = spark.createDataFrame(
+            [(f"https://csv.example.com/{i}", bytearray(f"a,b\n{i},2\n".encode()))
+             for i in range(50)],
+            "url string, html binary",
+        )
+        mixed = html.unionByName(pdf).unionByName(csvs)
+        return convert.conversion_rollup(convert.convert_any(mixed, num_partitions=16))
 
     # ---- SQL-expressible family (DuckDB-oracled) ----
     def q_token_stats(spark, sf_dir):
@@ -214,6 +257,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("event_type")
         )
 
+    def q_csv_tables(spark, sf_dir):
+        """CSV backend end-to-end with a SQL oracle: one CSV document
+        per region (its nations), parsed by the kernel; the reported
+        table geometry must match the relational ground truth."""
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import IntegerType, StructField as SF_, StructType as ST_
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        per_region = (
+            nation.join(
+                F.broadcast(region), nation.n_regionkey == region.r_regionkey
+            )
+            .groupBy("r_name")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.lit("name,key"),
+                    F.array_join(
+                        F.array_sort(
+                            F.collect_list(
+                                F.concat_ws(",", "n_name", "n_nationkey")
+                            )
+                        ),
+                        "\n",
+                    ),
+                ).alias("csv_text")
+            )
+        )
+
+        @pandas_udf(
+            ST_([SF_("n_table_rows", IntegerType()), SF_("num_cols", IntegerType())])
+        )
+        def parse_geom(texts):
+            import pandas as pd
+
+            from docling_spark.kernels.csv_kernel import parse_csv
+
+            rows, cols = [], []
+            for t in texts:
+                doc = parse_csv(t.encode())
+                table = doc.nodes[0].table
+                rows.append(table.num_rows)
+                cols.append(table.num_cols)
+            return pd.DataFrame({"n_table_rows": rows, "num_cols": cols})
+
+        return (
+            per_region.withColumn("g", parse_geom(F.col("csv_text")))
+            .select(
+                "r_name",
+                F.col("g.n_table_rows").alias("n_table_rows"),
+                F.col("g.num_cols").alias("num_cols"),
+            )
+            .orderBy("r_name")
+        )
+
     def q_resume_antijoin(spark, sf_dir):
         docs = _docs(spark, sf_dir)
         done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
@@ -233,6 +332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_simhash_pairs": x_simhash_pairs,
         "x_lsh_topk": x_lsh_topk,
         "x_media_rollup": x_media_rollup,
+        "x_pdf_extract": x_pdf_extract,
+        "x_pdf_confidence": x_pdf_confidence,
+        "x_chunks": x_chunks,
+        "x_convert_mixed": x_convert_mixed,
+        "q_csv_tables": q_csv_tables,
         "q_token_stats": q_token_stats,
         "q_quality_rollup": q_quality_rollup,
         "q_langid_rollup": q_langid_rollup,
@@ -435,5 +539,12 @@ def oracle_sql() -> dict[str, str]:
             from documents
             where doc_id not in (select doc_id from documents where doc_id % 7 = 0)
             group by lang order by lang
+        """,
+        "q_csv_tables": """
+            select r_name,
+                   cast(count(*) + 1 as int) as n_table_rows,
+                   cast(2 as int) as num_cols
+            from nation join region on n_regionkey = r_regionkey
+            group by r_name order by r_name
         """,
     }

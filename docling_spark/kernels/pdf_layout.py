@@ -1,0 +1,315 @@
+"""PDF layout heuristics: cell merge, parse-quality scoring, block
+assembly, reading order, document build.
+
+Behavioral ports (written fresh against the reference's semantics):
+
+* ``merge_horizontal_cells`` — pypdfium2's fragmented sub-word cells are
+  grouped into rows by vertical overlap (0.5x row height) and merged
+  when the horizontal gap <= average cell height
+  (/root/reference/docling/backend/pypdfium2_backend.py:155-250);
+* ``rate_text_quality`` — garbage detectors (replacement char,
+  GLYPH<...>, /G-runs, slash-token runs) hard-zero; fragmented-word
+  pattern >=3 occurrences adds 0.1 penalties; page parse_score is the
+  10th percentile of cell scores
+  (/root/reference/docling/models/page_preprocessing_model.py:29-35,120-145,
+  80-87);
+* ``sanitize_lines`` — hyphen-merge across lines + the 6-entry unicode
+  normalization (/root/reference/docling/models/page_assemble_model.py:38-63);
+* block classification / reading order — the rule-based skeleton of the
+  reference's layout postprocess + reading-order stage
+  (layout_postprocessor.py:654-684 cell sort; readingorder_model.py):
+  without the RT-DETR layout model we classify by font-size rank
+  (doc-median body size; larger = section headers, largest-on-page-1 =
+  title), and order blocks top-to-bottom, left-to-right with column
+  awareness.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from statistics import median
+
+from .doc_model import BODY, Doc
+from .pdf_kernel import PdfPage, TextCell
+
+# ------------------------------------------------------------- cell merge
+
+
+def _group_rows(
+    cells: list[TextCell], vertical_threshold_factor: float = 0.5
+) -> list[list[TextCell]]:
+    """Group TOPLEFT-origin cells into visual rows; thresholds follow
+    pypdfium2_backend.py:160-196 (running row bbox, 0.5x height)."""
+    rows: list[list[TextCell]] = []
+    cur = [cells[0]]
+    row_top, row_bot = cells[0].t, cells[0].b  # TL origin: t < b
+    row_h = abs(row_bot - row_top)
+    for cell in cells[1:]:
+        thr = row_h * vertical_threshold_factor
+        if abs(cell.t - row_top) <= thr and abs(cell.b - row_bot) <= thr:
+            cur.append(cell)
+            row_top = min(row_top, cell.t)
+            row_bot = max(row_bot, cell.b)
+            row_h = row_bot - row_top
+        else:
+            rows.append(cur)
+            cur = [cell]
+            row_top, row_bot = cell.t, cell.b
+            row_h = abs(row_bot - row_top)
+    rows.append(cur)
+    return rows
+
+
+def _merge_group(group: list[TextCell]) -> TextCell:
+    if len(group) == 1:
+        return group[0]
+    ordered = sorted(group, key=lambda c: c.l)
+    return TextCell(
+        text=" ".join(c.text for c in ordered if c.text).strip(),
+        l=min(c.l for c in group),
+        t=min(c.t for c in group),
+        r=max(c.r for c in group),
+        b=max(c.b for c in group),
+        size=max(c.size for c in group),
+    )
+
+
+def merge_horizontal_cells(
+    cells: list[TextCell],
+    horizontal_threshold_factor: float = 1.0,
+    vertical_threshold_factor: float = 0.5,
+) -> list[TextCell]:
+    """TOPLEFT-origin cells -> row-merged line cells."""
+    if not cells:
+        return []
+    merged: list[TextCell] = []
+    for row in _group_rows(cells, vertical_threshold_factor):
+        row = sorted(row, key=lambda c: c.l)
+        group = [row[0]]
+        for cell in row[1:]:
+            prev = group[-1]
+            avg_h = ((prev.b - prev.t) + (cell.b - cell.t)) / 2
+            if cell.l - prev.r <= avg_h * horizontal_threshold_factor:
+                group.append(cell)
+            else:
+                merged.append(_merge_group(group))
+                group = [cell]
+        merged.append(_merge_group(group))
+    return merged
+
+
+# --------------------------------------------------------- quality score
+
+_GLYPH_RE = re.compile(r"GLYPH<[0-9A-Fa-f]+>")
+_SLASH_G_RE = re.compile(r"(?:/G\d+){2,}")
+_FRAG_RE = re.compile(r"\b[A-Za-z](?:/[a-z]{1,3}\.[a-z]{1,3}){2,}\b")
+_SLASH_TOKEN_RE = re.compile(r"(?:/\w+\s*){2,}")
+
+
+def rate_text_quality(text: str) -> float:
+    if (
+        "�" in text
+        or _GLYPH_RE.search(text)
+        or _SLASH_G_RE.search(text)
+        or _SLASH_TOKEN_RE.match(text)
+    ):
+        return 0.0
+    penalty = 0.0
+    frag = _FRAG_RE.findall(text)
+    if len(frag) >= 3:
+        penalty += 0.1 * len(frag)
+    return max(1.0 - penalty, 0.0)
+
+
+def page_parse_score(cell_texts: list[str]) -> float:
+    """10th-percentile of per-cell scores (page_preprocessing_model.py:80-87),
+    with numpy's linear-interpolation quantile."""
+    if not cell_texts:
+        return float("nan")
+    scores = sorted(rate_text_quality(t) for t in cell_texts)
+    k = (len(scores) - 1) * 0.10
+    lo = int(k)
+    hi = min(lo + 1, len(scores) - 1)
+    return scores[lo] + (scores[hi] - scores[lo]) * (k - lo)
+
+
+# ------------------------------------------------------- text sanitizing
+
+_SANITIZE = {
+    "⁄": "/",
+    "’": "'",
+    "‘": "'",
+    "“": '"',
+    "”": '"',
+    "•": "·",
+}
+_WORD_RE = re.compile(r"\b[\w]+\b")
+
+
+def sanitize_lines(lines: list[str]) -> str:
+    """Hyphen-merge + normalization (page_assemble_model.py:38-63)."""
+    lines = list(lines)
+    if len(lines) <= 1:
+        text = " ".join(lines)
+    else:
+        for ix in range(len(lines) - 1):
+            prev_line, line = lines[ix], lines[ix + 1]
+            if prev_line.endswith("-"):
+                prev_words = _WORD_RE.findall(prev_line)
+                line_words = _WORD_RE.findall(line)
+                if (
+                    prev_words
+                    and line_words
+                    and prev_words[-1].isalnum()
+                    and line_words[0].isalnum()
+                ):
+                    lines[ix] = prev_line[:-1]
+            else:
+                lines[ix] += " "
+        text = "".join(lines)
+    for src, dst in _SANITIZE.items():
+        text = text.replace(src, dst)
+    return text.strip()
+
+
+# ------------------------------------------------- blocks + reading order
+
+
+@dataclass
+class Block:
+    kind: str  # 'title' | 'section_header' | 'text'
+    text: str
+    level: int
+    page_no: int
+    l: float
+    t: float
+    r: float
+    b: float
+    size: float
+    parse_score: float = 1.0
+
+
+def _cluster_columns(lines: list[TextCell], page_w: float) -> list[int]:
+    """Assign each line a column index: 0 for full-width/left, 1 for
+    lines living entirely in the right half of a two-column layout."""
+    cols = []
+    mid = page_w / 2
+    for ln in lines:
+        cols.append(1 if ln.l > mid * 0.96 and ln.r > mid else 0)
+    return cols
+
+
+def page_blocks(page: PdfPage) -> list[Block]:
+    """Lines -> vertically-clustered blocks in reading order."""
+    lines = merge_horizontal_cells(page.cells_top_left())
+    if not lines:
+        return []
+    heights = [ln.b - ln.t for ln in lines]
+    med_h = median(heights) or 1.0
+    cols = _cluster_columns(lines, page.width)
+    order = sorted(range(len(lines)), key=lambda i: (cols[i], lines[i].t, lines[i].l))
+
+    blocks: list[Block] = []
+    cur: list[TextCell] = []
+
+    def flush() -> None:
+        if not cur:
+            return
+        text = sanitize_lines([c.text for c in cur])
+        if text:
+            blocks.append(
+                Block(
+                    kind="text",
+                    text=text,
+                    level=0,
+                    page_no=page.page_no,
+                    l=min(c.l for c in cur),
+                    t=min(c.t for c in cur),
+                    r=max(c.r for c in cur),
+                    b=max(c.b for c in cur),
+                    size=max(c.size for c in cur),
+                    parse_score=page_parse_score([c.text for c in cur]),
+                )
+            )
+        cur.clear()
+
+    prev_idx = None
+    for i in order:
+        ln = lines[i]
+        if cur:
+            prev = lines[prev_idx]
+            same_col = cols[i] == cols[prev_idx]
+            gap = ln.t - prev.b
+            size_jump = abs(ln.size - prev.size) > 0.15 * max(ln.size, prev.size)
+            if not same_col or gap > 0.9 * med_h or size_jump:
+                flush()
+        cur.append(ln)
+        prev_idx = i
+    flush()
+    return blocks
+
+
+def classify_blocks(blocks: list[Block]) -> None:
+    """Font-size-rank classification, in place: body size = the size
+    bucket carrying the most characters (robust when headings outnumber
+    paragraphs); >=1.25x body -> section_header (bigger = shallower
+    level); the single largest header block on page 1 -> title."""
+    if not blocks:
+        return
+    chars_by_size: dict[float, int] = {}
+    for b in blocks:
+        key = round(b.size * 2) / 2
+        chars_by_size[key] = chars_by_size.get(key, 0) + len(b.text)
+    body = max(chars_by_size.items(), key=lambda kv: kv[1])[0]
+    header_sizes = sorted(
+        {round(b.size, 2) for b in blocks if b.size >= 1.25 * body}, reverse=True
+    )
+    for b in blocks:
+        if b.size >= 1.25 * body and len(b.text) < 300:
+            b.kind = "section_header"
+            b.level = header_sizes.index(round(b.size, 2)) + 1
+    page1 = [b for b in blocks if b.page_no == 1 and b.kind == "section_header"]
+    if page1:
+        top = max(page1, key=lambda b: b.size)
+        if top.level == 1:
+            top.kind = "title"
+            for b in blocks:
+                if b.kind == "section_header" and b.level > 1:
+                    b.level -= 1
+
+
+def assemble_doc(all_blocks: list[Block], name: str = "doc") -> Doc:
+    """Blocks (already in per-page reading order, pages ascending) ->
+    Doc IR. Runs doc-wide classification, so it must see ALL pages —
+    in the Spark paged path this is the post-shuffle kernel."""
+    classify_blocks(all_blocks)
+    doc = Doc(name)
+    for b in all_blocks:
+        if b.kind == "title":
+            doc.add_title(b.text, content_layer=BODY)
+        elif b.kind == "section_header":
+            doc.add_heading(b.text, level=max(1, b.level), content_layer=BODY)
+        else:
+            doc.add_text(text=b.text, content_layer=BODY)
+    return doc
+
+
+def build_doc(pages: list[PdfPage], name: str = "doc") -> tuple[Doc, list[float]]:
+    """Pages -> Doc IR + per-page parse scores (P17/P18 doc assembly,
+    standard_pdf_pipeline.py:183-201 + readingorder_model.py)."""
+    all_blocks: list[Block] = []
+    page_scores: list[float] = []
+    for page in sorted(pages, key=lambda p: p.page_no):
+        blocks = page_blocks(page)
+        page_scores.append(
+            page_parse_score([c.text for c in page.cells]) if page.cells else float("nan")
+        )
+        all_blocks.extend(blocks)
+    return assemble_doc(all_blocks, name), page_scores
+
+
+@dataclass
+class PdfResult:
+    doc: Doc
+    page_scores: list[float] = field(default_factory=list)

@@ -1,0 +1,163 @@
+"""Unified conversion operator: format routing + kernel dispatch (S4).
+
+Reference: ``DocumentConverter`` holds a format -> (backend, pipeline)
+map and routes each input document
+(/root/reference/docling/document_converter.py:131-198, 309-345). Here
+the route is a column: ``fmt`` is sniffed from leading bytes
+(operators/formats.py, reference document.py:280-338) and one
+``mapInPandas`` dispatches each row to the matching kernel — html, pdf,
+csv, markdown. Unknown formats become status='skipped' rows, parse
+errors status='failure' (errors-as-data).
+
+One operator, one shuffle (url-hash repartition), any mix of formats:
+exactly what the 10^12-doc crawl table needs, since a WARC sample is
+never single-format.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from docling_spark.operators.formats import sniff_format
+
+CONVERT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("fmt", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("md", StringType()),
+        StructField("txt", StringType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("n_chunks", IntegerType()),
+        StructField("doctags", StringType()),
+        StructField("bytes_in", LongType()),
+        StructField("t_sec", DoubleType()),
+    ]
+)
+
+_KERNEL_RECURSION_LIMIT = 20000
+
+
+def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
+    """Route one document through the matching kernel; never raises."""
+    from docling_spark.kernels.chunker import hierarchical_chunks
+    from docling_spark.kernels.csv_kernel import parse_csv
+    from docling_spark.kernels.doctags import export_to_doctags
+    from docling_spark.kernels.html_kernel import HtmlExtractor
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.md_kernel import parse_markdown
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+    from docling_spark.kernels.pdf_layout import build_doc
+    from docling_spark.kernels.textout import to_text
+
+    t0 = time.perf_counter()
+    payload = payload or b""
+    fmt = sniff_format(payload[:8192])
+    base = {
+        "url": url,
+        "fmt": fmt,
+        "bytes_in": len(payload),
+        "n_chunks": 0,
+        "doctags": None,
+    }
+    try:
+        if sys.getrecursionlimit() < _KERNEL_RECURSION_LIMIT:
+            sys.setrecursionlimit(_KERNEL_RECURSION_LIMIT)
+        if fmt == "html" or fmt == "xml":
+            doc = HtmlExtractor(original_url=url).convert(payload)
+        elif fmt == "pdf":
+            doc, _scores = build_doc(parse_pdf(payload), name=url)
+        elif fmt == "csv":
+            doc = parse_csv(payload, name=url)
+        elif fmt == "text":
+            # plain text or markdown — the md parser degrades to
+            # paragraphs for plain text, like the reference's MD route
+            doc = parse_markdown(payload, name=url)
+        else:
+            return {
+                **base,
+                "status": "skipped",
+                "error": f"unsupported format: {fmt}",
+                "md": None,
+                "txt": None,
+                "n_nodes": 0,
+                "t_sec": time.perf_counter() - t0,
+            }
+        chunks = hierarchical_chunks(doc)
+        return {
+            **base,
+            "status": "success",
+            "error": None,
+            "md": to_markdown(doc),
+            "txt": to_text(doc),
+            "n_nodes": len(doc.nodes),
+            "n_chunks": len(chunks),
+            "doctags": export_to_doctags(doc) if want_doctags else None,
+            "t_sec": time.perf_counter() - t0,
+        }
+    except Exception as e:  # noqa: BLE001 — errors become data
+        return {
+            **base,
+            "status": "failure",
+            "error": f"{type(e).__name__}: {e}"[:500],
+            "md": None,
+            "txt": None,
+            "n_nodes": 0,
+            "t_sec": time.perf_counter() - t0,
+        }
+
+
+def convert_any(
+    df: DataFrame,
+    content_col: str = "html",
+    num_partitions: int | None = None,
+    want_doctags: bool = False,
+) -> DataFrame:
+    """(url, <content binary>) of ANY supported format -> results."""
+    import pandas as pd
+
+    sel = df.select("url", content_col)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    sel = sel.repartition(num_partitions, F.xxhash64("url"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                convert_one(
+                    u,
+                    bytes(p) if p is not None else b"",
+                    want_doctags=want_doctags,
+                )
+                for u, p in zip(pdf["url"], pdf[content_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in CONVERT_SCHEMA.fields])
+
+    return sel.mapInPandas(run, CONVERT_SCHEMA)
+
+
+def conversion_rollup(results: DataFrame) -> DataFrame:
+    """Per-(fmt, status) accounting — document_converter.py:376-398."""
+    return (
+        results.groupBy("fmt", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bytes_in").alias("total_bytes"),
+            F.sum("n_nodes").cast("long").alias("total_nodes"),
+        )
+        .orderBy("fmt", "status")
+    )

@@ -1,0 +1,335 @@
+"""PDF extraction as Spark operators — two physical strategies.
+
+Reference pipeline being re-expressed: StandardPdfPipeline
+(/root/reference/docling/pipeline/standard_pdf_pipeline.py:68-92,
+183-201): parse pages -> per-page preprocess/assemble -> concat pages ->
+reading order -> document. Its threaded variant
+(threaded_standard_pdf_pipeline.py) exists only to pipeline stages
+inside one process; Spark replaces all of it with partition parallelism.
+
+Strategy A — ``extract_pdf_docs`` (doc-at-once): one ``mapInPandas``
+parses + assembles each document in a single task. Right when documents
+are small (crawl PDFs overwhelmingly are) because there is ZERO shuffle.
+
+Strategy B — ``parse_pdf_page_rows`` + ``assemble_from_pages`` (paged):
+parse emits one row per page (url, page_no, blocks, parse_score), pages
+of one 2000-page document land in different tasks; the single shuffle is
+``groupBy(url).agg(array_sort(collect_list(struct(page_no, blocks))))``
+— the reference's page-concat boundary (standard_pdf_pipeline.py:183-201)
+made into a real exchange. This is the skew escape hatch for oversized
+documents: one doc is no longer one task.
+
+Confidence aggregation (P19, standard_pdf_pipeline.py:253-281) is plain
+Spark SQL over the per-page scores: avg + 10th-percentile.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_BLOCK_FIELDS = [
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("level", IntegerType()),
+    StructField("page_no", IntegerType()),
+    StructField("l", DoubleType()),
+    StructField("t", DoubleType()),
+    StructField("r", DoubleType()),
+    StructField("b", DoubleType()),
+    StructField("size", DoubleType()),
+]
+
+PDF_DOC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("md", StringType()),
+        StructField("txt", StringType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("parse_score", DoubleType()),
+        StructField("bytes_in", LongType()),
+        StructField("t_sec", DoubleType()),
+    ]
+)
+
+PDF_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("width", DoubleType()),
+        StructField("height", DoubleType()),
+        StructField("n_cells", IntegerType()),
+        StructField("parse_score", DoubleType()),
+        StructField("blocks", ArrayType(StructType(_BLOCK_FIELDS))),
+    ]
+)
+
+
+def _doc_score(page_scores: list[float]) -> float:
+    """Doc parse score = 10th percentile over pages
+    (standard_pdf_pipeline.py:262-268 nanquantile)."""
+    vals = sorted(s for s in page_scores if s == s)  # drop NaN
+    if not vals:
+        return float("nan")
+    k = (len(vals) - 1) * 0.10
+    lo = int(k)
+    hi = min(lo + 1, len(vals) - 1)
+    return vals[lo] + (vals[hi] - vals[lo]) * (k - lo)
+
+
+# ------------------------------------------------------- strategy A
+
+
+def extract_one_pdf(url: str, content: bytes) -> dict:
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+    from docling_spark.kernels.pdf_layout import build_doc
+    from docling_spark.kernels.textout import to_text
+
+    t0 = time.perf_counter()
+    n_bytes = len(content) if content is not None else 0
+    try:
+        pages = parse_pdf(content or b"")
+        doc, page_scores = build_doc(pages, name=url or "doc")
+        return {
+            "status": "success",
+            "error": None,
+            "n_pages": len(pages),
+            "md": to_markdown(doc),
+            "txt": to_text(doc),
+            "n_nodes": len(doc.nodes),
+            "parse_score": _doc_score(page_scores),
+            "bytes_in": n_bytes,
+            "t_sec": time.perf_counter() - t0,
+        }
+    except Exception as e:  # noqa: BLE001 — errors become data
+        return {
+            "status": "failure",
+            "error": f"{type(e).__name__}: {e}"[:500],
+            "n_pages": 0,
+            "md": None,
+            "txt": None,
+            "n_nodes": 0,
+            "parse_score": None,
+            "bytes_in": n_bytes,
+            "t_sec": time.perf_counter() - t0,
+        }
+
+
+def extract_pdf_docs(
+    df: DataFrame, content_col: str = "content", num_partitions: int | None = None
+) -> DataFrame:
+    import pandas as pd
+
+    pages = df.select("url", content_col)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    pages = pages.repartition(num_partitions, F.xxhash64("url"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                extract_one_pdf(u, c)
+                for u, c in zip(pdf["url"], pdf[content_col])
+            ]
+            out = pd.DataFrame(rows)
+            out.insert(0, "url", pdf["url"].values)
+            yield out
+
+    return pages.mapInPandas(run, PDF_DOC_SCHEMA)
+
+
+# ------------------------------------------------------- strategy B
+
+
+def parse_pdf_page_rows(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """One output row per page, blocks already assembled per page.
+
+    Parse failures emit a single page_no=0 failure row per doc so the
+    downstream regroup still produces a status row for every url.
+    """
+    import pandas as pd
+
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+    from docling_spark.kernels.pdf_layout import page_blocks, page_parse_score
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, content in zip(pdf["url"], pdf[content_col]):
+                try:
+                    for page in parse_pdf(bytes(content) if content is not None else b""):
+                        blocks = page_blocks(page)
+                        rows.append(
+                            {
+                                "url": url,
+                                "status": "success",
+                                "error": None,
+                                "page_no": page.page_no,
+                                "width": page.width,
+                                "height": page.height,
+                                "n_cells": len(page.cells),
+                                "parse_score": page_parse_score(
+                                    [c.text for c in page.cells]
+                                )
+                                if page.cells
+                                else None,
+                                "blocks": [
+                                    (
+                                        b.kind,
+                                        b.text,
+                                        b.level,
+                                        b.page_no,
+                                        b.l,
+                                        b.t,
+                                        b.r,
+                                        b.b,
+                                        b.size,
+                                    )
+                                    for b in blocks
+                                ],
+                            }
+                        )
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        {
+                            "url": url,
+                            "status": "failure",
+                            "error": f"{type(e).__name__}: {e}"[:500],
+                            "page_no": 0,
+                            "width": 0.0,
+                            "height": 0.0,
+                            "n_cells": 0,
+                            "parse_score": None,
+                            "blocks": [],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_PAGE_SCHEMA.fields])
+
+    return df.select("url", content_col).mapInPandas(run, PDF_PAGE_SCHEMA)
+
+
+ASSEMBLED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("status", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("md", StringType()),
+        StructField("txt", StringType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("parse_score", DoubleType()),
+    ]
+)
+
+
+def assemble_from_pages(page_rows: DataFrame) -> DataFrame:
+    """The one wide dependency of the PDF path: regroup pages per url
+    (reference page-concat, standard_pdf_pipeline.py:183-201), then a
+    per-doc kernel does classification + reading order + serialize."""
+    import pandas as pd
+
+    grouped = page_rows.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.struct("page_no", "blocks", "parse_score", "status"))
+        ).alias("pages"),
+    )
+
+    def run(batches):
+        from docling_spark.kernels.markdown import to_markdown
+        from docling_spark.kernels.pdf_layout import Block, assemble_doc
+        from docling_spark.kernels.textout import to_text
+
+        for pdf in batches:
+            rows = []
+            for url, pages in zip(pdf["url"], pdf["pages"]):
+                statuses = {p["status"] for p in pages}
+                if statuses == {"failure"}:
+                    rows.append(
+                        {
+                            "url": url,
+                            "status": "failure",
+                            "n_pages": 0,
+                            "md": None,
+                            "txt": None,
+                            "n_nodes": 0,
+                            "parse_score": None,
+                        }
+                    )
+                    continue
+                blocks = [
+                    Block(
+                        kind=b["kind"],
+                        text=b["text"],
+                        level=b["level"],
+                        page_no=b["page_no"],
+                        l=b["l"],
+                        t=b["t"],
+                        r=b["r"],
+                        b=b["b"],
+                        size=b["size"],
+                    )
+                    for p in pages
+                    for b in p["blocks"]
+                ]
+                doc = assemble_doc(blocks, name=url)
+                scores = [
+                    p["parse_score"] for p in pages if p["parse_score"] is not None
+                ]
+                rows.append(
+                    {
+                        "url": url,
+                        "status": "partial_success"
+                        if "failure" in statuses
+                        else "success",
+                        "n_pages": len(pages),
+                        "md": to_markdown(doc),
+                        "txt": to_text(doc),
+                        "n_nodes": len(doc.nodes),
+                        "parse_score": _doc_score(scores) if scores else None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ASSEMBLED_SCHEMA.fields]
+            )
+
+    return grouped.mapInPandas(run, ASSEMBLED_SCHEMA)
+
+
+def extract_pdfs_paged(df: DataFrame, content_col: str = "content") -> DataFrame:
+    return assemble_from_pages(parse_pdf_page_rows(df, content_col))
+
+
+# ------------------------------------------------------- P19 rollup
+
+
+def confidence_rollup(page_rows: DataFrame) -> DataFrame:
+    """Per-doc confidence from page scores — pure Spark SQL
+    (standard_pdf_pipeline.py:253-281)."""
+    return (
+        page_rows.filter(F.col("status") == "success")
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.round(F.avg("parse_score"), 6).alias("mean_parse_score"),
+            F.round(F.expr("percentile(parse_score, 0.1d)"), 6).alias(
+                "low_parse_score"
+            ),
+        )
+    )

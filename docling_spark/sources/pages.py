@@ -43,6 +43,88 @@ def _words(text: str) -> list[str]:
     return w if w else ["lorem"]
 
 
+def _size_target(page_id: int) -> int:
+    """Deterministic crawl-like page size mix: half ~8 KB, 30% ~30 KB,
+    20% ~80 KB (plus the separate %997 ~1 MB oversized tail). Keeps the
+    per-page kernel cost realistic — a corpus of 2 KB toy pages makes
+    fixed per-row overhead dominate and misstates scaling."""
+    c = page_id % 10
+    if c < 5:
+        return 8 << 10
+    if c < 8:
+        return 30 << 10
+    return 80 << 10
+
+
+def render_section(page_id: int, si: int, text: str) -> str:
+    """One deterministic content section (template = (page_id+si) mod 8)."""
+    w = _words(text)
+    t = (page_id + si) % _N_TEMPLATES
+    base = (si * 7) % max(1, len(w) - 1)
+    para1 = " ".join(w[base : base + 40])
+    para2 = " ".join(w[base + 13 : base + 53]) or para1
+    head = f"Part {si}: " + " ".join(w[base : base + 3]).title()
+    if t == 0:
+        return (
+            f"<h2>{head}</h2><p>{para1}</p>"
+            f"<h4>Deep {si % 3}</h4><p>{para2}</p>"
+            f"<h3>Back {si % 7}</h3><p>{para1}</p>"
+        )
+    if t == 1:
+        items = "".join(f"<li>{x} item {i}</li>" for i, x in enumerate(w[base : base + 5]))
+        nested = "".join(f"<li>{x} nested</li>" for x in w[base + 5 : base + 8])
+        return (
+            f"<h2>{head}</h2>"
+            f"<ul><li>{w[base % len(w)]} head<ul>{nested}</ul></li>{items}</ul>"
+            f"<ol start=\"{(page_id + si) % 50}\">{items}</ol>"
+        )
+    if t == 2:
+        rows = "".join(
+            f"<tr><td>{w[(base + i) % len(w)]}</td><td>{(page_id + i) % 1000}</td>"
+            f"<td>${(page_id * (i + si)) % 500}</td></tr>"
+            for i in range(1, 6)
+        )
+        return (
+            f"<h2>{head}</h2>"
+            f"<table><tr><th>Name</th><th colspan=\"2\">Metrics</th></tr>"
+            f"<tr><td rowspan=\"2\">{w[base % len(w)]}</td><td>1</td><td>2</td></tr>"
+            f"<tr><td>3</td><td>4</td></tr>{rows}</table>"
+        )
+    if t == 3:
+        return (
+            f"<h2>{head}</h2>"
+            f"<p>Plain then <b>{w[base % len(w)]} bold</b> and "
+            f"<i>{w[(base + 1) % len(w)]} italic</i> "
+            f"with <s>struck</s> and H<sub>2</sub>O plus x<sup>2</sup>.</p>"
+            f"<p><strong><em>{para1[:80]}</em></strong> {para2}</p>"
+        )
+    if t == 4:
+        return (
+            f"<h2>{head}</h2>"
+            f"<p>Install <code>pkg-{(page_id + si) % 100}</code> then run:</p>"
+            f"<pre><code>spark-submit --py-files engine.zip job.py --id {page_id}\n"
+            f"echo {w[base % len(w)]} {si}\n</code></pre><p>{para2}</p>"
+        )
+    if t == 5:
+        return (
+            f"<h2>{head}</h2>"
+            f"<p>See <a href=\"/doc/{page_id - 1}\">previous</a> and "
+            f"<a href=\"https://ref.example.org/x?q={page_id}&s={si}\">reference</a>. {para1}</p>"
+            f"<figure><img src=\"img{page_id}_{si}.png\" alt=\"Figure {si}\"/>"
+            f"<figcaption>Caption: {' '.join(w[base : base + 6])}</figcaption></figure>"
+        )
+    if t == 6:
+        return (
+            f"<h2>{head}</h2><p>{para1}</p>"
+            f"<div hidden>secret {page_id}-{si}</div>"
+            f"<p>{para2}</p>"
+        )
+    return (
+        f"<div>{para1}</div><div>Second div {page_id}-{si}.</div>"
+        f"<div>Line one<br/>line two.</div><p>{para2[:120]}</p>"
+    )
+
+
 def render_page(page_id: int, text: str, lang: str) -> bytes:
     """Render one deterministic HTML page (template = page_id mod 8)."""
     w = _words(text)
@@ -106,21 +188,33 @@ def render_page(page_id: int, text: str, lang: str) -> bytes:
             f"<p>Nav boilerplate before any heading.</p>"
             f"<h1>{title}</h1><p>{para1}</p>"
             f"<div hidden>secret {page_id}</div>"
-            f"<footer><p>Footer fineprint {page_id}</p></footer>"
         )
-        return (
-            f"<html><head><title>Site {page_id % 13}</title>"
-            f"<style>p {{color: red}}</style>"
-            f"<script>var x = {page_id};</script></head>"
-            f"<body>{body}</body></html>"
-        ).encode()
     else:  # div/br soup, no headings (body layer by default)
         body = (
             f"<div>{para1}</div><div>Second div {page_id}.</div>"
             f"<div>Line one<br/>line two.</div><p>{para2[:80]}</p>"
         )
 
-    html = f"<html><body>{body}</body></html>"
+    # pad to a realistic crawl-page size with deterministic sections
+    target = _size_target(page_id)
+    sections: list[str] = []
+    total = len(body)
+    si = 1
+    while total < target:
+        s = render_section(page_id, si, text)
+        sections.append(s)
+        total += len(s)
+        si += 1
+    if t == 6:
+        html = (
+            f"<html><head><title>Site {page_id % 13}</title>"
+            f"<style>p {{color: red}}</style>"
+            f"<script>var x = {page_id};</script></head>"
+            f"<body>{body}{''.join(sections)}"
+            f"<footer><p>Footer fineprint {page_id}</p></footer></body></html>"
+        )
+    else:
+        html = f"<html><body>{body}{''.join(sections)}</body></html>"
     if page_id % 997 == 0:  # oversized-document skew rows (~1 MB)
         section = f"<h2>Bulk {page_id}</h2><p>{para1} {para2}</p>"
         reps = max(1, (1 << 20) // max(1, len(section)))

@@ -1,0 +1,136 @@
+"""CSV (B2) / Markdown (B1) backends, doctags export (E3), and the
+unified format router (S4)."""
+
+import pytest
+
+from docling_spark.kernels.csv_kernel import CsvError, parse_csv
+from docling_spark.kernels.doctags import export_to_doctags
+from docling_spark.kernels.markdown import to_markdown
+from docling_spark.kernels.md_kernel import parse_markdown
+from docling_spark.operators.convert import convert_one
+
+
+# ----------------------------------------------------------------- CSV
+
+
+def test_csv_semantics():
+    """csv_backend.py:52-125: sniffed dialect, one table, first row =
+    column headers, quoted fields."""
+    doc = parse_csv(b'name,qty,price\nwidget,2,"1,50"\nbolt,9,0.10\n')
+    tables = [n for n in doc.nodes if n.kind == "table"]
+    assert len(tables) == 1
+    t = tables[0].table
+    assert (t.num_rows, t.num_cols) == (3, 3)
+    headers = [c for c in t.cells if c.column_header]
+    assert [c.text for c in headers] == ["name", "qty", "price"]
+    assert t.grid()[1] == ["widget", "2", "1,50"]
+
+
+def test_csv_semicolon_and_pipe():
+    for delim in (";", "|", "\t"):
+        raw = f"a{delim}b\n1{delim}2\n".encode()
+        doc = parse_csv(raw)
+        assert doc.nodes[0].table.grid() == [["a", "b"], ["1", "2"]]
+
+
+def test_csv_errors():
+    with pytest.raises(CsvError):
+        parse_csv(b"")
+    with pytest.raises(CsvError):
+        parse_csv(b"\xff\xfe binary")
+
+
+def test_csv_markdown_render():
+    md = to_markdown(parse_csv(b"h1,h2\nv1,v2\n"))
+    assert "| h1" in md and "| v1" in md
+
+
+# ------------------------------------------------------------ Markdown
+
+
+def test_md_headings_and_paragraphs():
+    doc = parse_markdown(b"# Title\n\nintro text\n\n## Section\n\nbody here\nlazy line\n")
+    kinds = [(n.kind, n.text) for n in doc.nodes if n.text]
+    assert ("title", "Title") in kinds
+    assert ("section_header", "Section") in kinds
+    assert ("text", "body here lazy line") in kinds
+
+
+def test_md_lists_nested_and_ordered():
+    doc = parse_markdown(b"- a\n- b\n  - b1\n1. one\n2. two\n")
+    items = [n for n in doc.nodes if n.kind == "list_item"]
+    assert [n.text for n in items] == ["a", "b", "b1", "one", "two"]
+    assert [n.enumerated for n in items] == [False, False, False, True, True]
+    groups = [n for n in doc.nodes if n.kind == "group"]
+    assert len(groups) == 3  # outer ul, nested ul, ol
+
+
+def test_md_code_fence_and_table():
+    raw = b"```py\nx = 1\n```\n\n| a | b |\n|---|---|\n| 1 | 2 |\n"
+    doc = parse_markdown(raw)
+    code = [n for n in doc.nodes if n.kind == "code"]
+    assert code and code[0].text == "x = 1"
+    tables = [n for n in doc.nodes if n.kind == "table"]
+    assert tables and tables[0].table.grid() == [["a", "b"], ["1", "2"]]
+
+
+def test_md_roundtrip_through_serializer():
+    """parse -> to_markdown must preserve block structure."""
+    src = "# T\n\npara one\n\n## S\n\n- x\n- y\n"
+    md = to_markdown(parse_markdown(src.encode()))
+    assert "# T" in md and "## S" in md and "- x" in md and "- y" in md
+
+
+# ------------------------------------------------------------- doctags
+
+
+def test_doctags_shape():
+    doc = parse_markdown(b"# T\n\nhello\n\n- li1\n")
+    tags = export_to_doctags(doc)
+    assert tags.startswith("<doctag>") and tags.endswith("</doctag>")
+    assert "<title>T</title>" in tags
+    assert "<text>hello</text>" in tags
+    assert "<unordered_list>" in tags and "<list_item>li1</list_item>" in tags
+
+
+def test_doctags_locs_quantized():
+    doc = parse_markdown(b"# T\n")
+    tags = export_to_doctags(doc, bboxes={0: (0, 0, 306, 396)}, page_w=612, page_h=792)
+    assert "<loc_0><loc_0><loc_250><loc_250>" in tags
+
+
+# ---------------------------------------------------------- S4 routing
+
+
+def test_convert_one_routes_by_magic():
+    from docling_spark.sources.pdfgen import render_doc_pdf
+
+    html = convert_one("u", b"<html><body><h1>H</h1><p>t</p></body></html>")
+    assert (html["fmt"], html["status"]) == ("html", "success")
+    assert html["md"].startswith("# H")
+
+    pdf = convert_one("u", render_doc_pdf(1, "alpha beta gamma delta"))
+    assert (pdf["fmt"], pdf["status"]) == ("pdf", "success")
+
+    csv_r = convert_one("u", b"a,b\n1,2\n")
+    assert (csv_r["fmt"], csv_r["status"]) == ("csv", "success")
+
+    md_r = convert_one("u", b"just a plain paragraph without markup")
+    assert (md_r["fmt"], md_r["status"]) == ("text", "success")
+
+    img = convert_one("u", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    assert (img["fmt"], img["status"]) == ("image", "skipped")
+
+    broken_pdf = convert_one("u", b"%PDF-1.4 garbage")
+    assert (broken_pdf["fmt"], broken_pdf["status"]) == ("pdf", "failure")
+    assert broken_pdf["error"]
+
+
+def test_convert_one_chunks_and_doctags():
+    r = convert_one(
+        "u",
+        b"<html><body><h1>H</h1><p>one two three</p><ul><li>a</li></ul></body></html>",
+        want_doctags=True,
+    )
+    assert r["n_chunks"] >= 2
+    assert r["doctags"].startswith("<doctag>")

