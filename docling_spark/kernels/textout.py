@@ -75,3 +75,68 @@ def text_spans(doc: Doc) -> list[tuple[int, str, int, int]]:
         spans.append((n.node_id, n.kind, pos, pos + len(t)))
         pos += len(t) + 1  # the joining newline
     return spans
+
+
+# ------------------------------------------------------- indented text
+
+
+def _itxt_clip(text: str, max_text_len: int) -> str:
+    # Empirically derived from the groundtruth corpus (wiki_duck): texts
+    # up to 72 chars are kept verbatim, >= 75 are clipped to
+    # first-32 + " ... " + last-38; threshold modeled as max_text_len+2.
+    if len(text) <= max_text_len + 2:
+        return text
+    half = max_text_len // 2
+    return text[: half - 3] + " ... " + text[-(half + 3) :]
+
+
+def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
+    """E2: ``_export_to_indented_text`` parity (docling_core surface used
+    by /root/reference/tests/test_backend_html.py:176-180; format pinned
+    by tests/data/groundtruth/docling_v2/*.html.itxt): DFS item lines
+    ``item-N at level L: label: text`` with 2-space indent; pictures
+    render their caption as a child line sharing N; tables render as
+    ``table with [RxC]``; groups as ``<label>: group <name>``; text
+    longer than ``max_text_len`` clipped to 32+' ... '+38 chars."""
+    lines = [f"item-0 at level 0: unspecified: group {doc.name and '_root_'}"]
+    counter = 0
+
+    def walk(node: DocNode, level: int) -> None:
+        nonlocal counter
+        if node.content_layer != BODY:  # furniture pruned at any depth
+            return
+        counter += 1
+        n = counter
+        pad = "  " * level
+        if node.kind == PICTURE:
+            lines.append(f"{pad}item-{n} at level {level}: picture")
+            if node.caption_id >= 0:
+                cap = doc.nodes[node.caption_id]
+                if cap.text:
+                    lines.append(
+                        f"{pad}  item-{n} at level {level + 1}: caption: "
+                        f"{_itxt_clip(cap.text, max_text_len)}"
+                    )
+        elif node.kind == TABLE and node.table is not None:
+            lines.append(
+                f"{pad}item-{n} at level {level}: table with "
+                f"[{node.table.num_rows}x{node.table.num_cols}]"
+            )
+        elif node.kind == GROUP:
+            lines.append(
+                f"{pad}item-{n} at level {level}: {node.group_label}: "
+                f"group {node.name or 'group'}"
+            )
+        else:
+            lines.append(
+                f"{pad}item-{n} at level {level}: {node.kind}: "
+                f"{_itxt_clip(node.text, max_text_len)}"
+            )
+        for c in node.children:
+            walk(doc.nodes[c], level + 1)
+
+    for cid in doc.body_children:
+        node = doc.nodes[cid]
+        if node.content_layer == BODY:
+            walk(node, 1)
+    return "\n".join(lines)
