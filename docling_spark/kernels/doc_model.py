@@ -31,6 +31,7 @@ LIST_ITEM = "list_item"
 PICTURE = "picture"
 TABLE = "table"
 GROUP = "group"
+PARAGRAPH = "paragraph"  # pptx body text (DocItemLabel.PARAGRAPH)
 
 # group kinds (reference: docling_core GroupLabel)
 G_SECTION = "section"

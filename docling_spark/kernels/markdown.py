@@ -195,7 +195,7 @@ class MarkdownSerializer:
             blocks = [f"# {_render_inline(node)}"]
         elif kind == SECTION_HEADER:
             blocks = [f"{'#' * (node.level + 1)} {_render_inline(node)}"]
-        elif kind in (TEXT, CAPTION, LIST_ITEM):
+        elif kind in (TEXT, CAPTION, LIST_ITEM, "paragraph"):
             r = _render_inline(node)
             blocks = [r] if r else []
         elif kind == CODE:
@@ -255,7 +255,10 @@ class MarkdownSerializer:
                     else:
                         for block in self._ser(sub, depth + 1):
                             tail_lines.append(block)
-                lines.append(f"{indent}{marker} {' '.join(segs)}".rstrip())
+                # keep a trailing space inside item text (pptx golden
+                # "- l1 "); rstrip only the empty-item "marker + space"
+                line = f"{indent}{marker} {' '.join(segs)}"
+                lines.append(line if segs else line.rstrip())
                 lines.extend(tail_lines)
             elif child.kind == GROUP and child.group_label == G_LIST:
                 lines.extend(self._ser_list(child, depth + 1))

@@ -55,12 +55,16 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
     from docling_spark.kernels.chunker import hierarchical_chunks
     from docling_spark.kernels.csv_kernel import parse_csv
     from docling_spark.kernels.doctags import export_to_doctags
+    from docling_spark.kernels.docx_kernel import parse_docx
     from docling_spark.kernels.html_kernel import HtmlExtractor
     from docling_spark.kernels.markdown import to_markdown
     from docling_spark.kernels.md_kernel import parse_markdown
     from docling_spark.kernels.pdf_kernel import parse_pdf
     from docling_spark.kernels.pdf_layout import build_doc
+    from docling_spark.kernels.pptx_kernel import parse_pptx
     from docling_spark.kernels.textout import to_text
+    from docling_spark.kernels.xlsx_kernel import parse_xlsx
+    from docling_spark.operators.formats import office_subformat
 
     t0 = time.perf_counter()
     payload = payload or b""
@@ -79,6 +83,25 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
             doc = HtmlExtractor(original_url=url).convert(payload)
         elif fmt == "pdf":
             doc, _scores = build_doc(parse_pdf(payload), name=url)
+        elif fmt == "office":
+            sub = office_subformat(payload)
+            base["fmt"] = sub
+            if sub == "docx":
+                doc = parse_docx(payload, name=url)
+            elif sub == "xlsx":
+                doc = parse_xlsx(payload, name=url)
+            elif sub == "pptx":
+                doc = parse_pptx(payload, name=url)
+            else:
+                return {
+                    **base,
+                    "status": "skipped",
+                    "error": f"unsupported office container: {sub}",
+                    "md": None,
+                    "txt": None,
+                    "n_nodes": 0,
+                    "t_sec": time.perf_counter() - t0,
+                }
         elif fmt == "csv":
             doc = parse_csv(payload, name=url)
         elif fmt == "text":

@@ -60,6 +60,27 @@ def sniff_format(head: bytes) -> str:
         return "binary"
 
 
+def office_subformat(payload: bytes) -> str:
+    """docx/xlsx/pptx from the OOXML container's member names
+    (reference: format routing document_converter.py:131-198 keyed on
+    python-docx/pptx/openpyxl open success; here the zip directory is
+    authoritative and needs no parse)."""
+    import io
+    import zipfile
+
+    try:
+        names = zipfile.ZipFile(io.BytesIO(payload)).namelist()
+    except zipfile.BadZipFile:
+        return "zip"
+    if any(n.startswith("word/") for n in names):
+        return "docx"
+    if any(n.startswith("xl/") for n in names):
+        return "xlsx"
+    if any(n.startswith("ppt/") for n in names):
+        return "pptx"
+    return "zip"
+
+
 def with_format(df: DataFrame, binary_col: str = "html") -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 

