@@ -41,6 +41,7 @@ from .doc_model import (
     TableCellData,
     TableDataIR,
 )
+from .omml import omml_to_latex
 
 W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -130,15 +131,16 @@ class _NumCounters:
 
 
 class _Seg:
-    __slots__ = ("text", "fmt", "link")
+    __slots__ = ("text", "fmt", "link", "is_math")
 
-    def __init__(self, text: str, fmt: Formatting | None, link: str | None):
+    def __init__(self, text, fmt, link, is_math=False):
         self.text = text
         self.fmt = fmt
         self.link = link
+        self.is_math = is_math
 
     def key(self):
-        return (self.fmt, self.link)
+        return (self.fmt, self.link, self.is_math)
 
 
 def _run_format(rpr) -> Formatting | None:
@@ -210,10 +212,15 @@ def _collect_segments(p, rels, drawings: list, textboxes: list) -> list[_Seg]:
                 text = "".join(parts)
                 if text:
                     segs.append(_Seg(text, _run_format(child.find(f"{W}rPr")), link))
-            elif tag in (f"{M_NS}oMath", f"{M_NS}oMathPara"):
-                math_text = "".join(t.text or "" for t in child.iter(f"{M_NS}t"))
-                if math_text:
-                    segs.append(_Seg(math_text, None, link))
+            elif tag == f"{M_NS}oMathPara":
+                for om in child.findall(f"{M_NS}oMath"):
+                    latex = omml_to_latex(om).strip()
+                    if latex:
+                        segs.append(_Seg(latex, None, link, is_math=True))
+            elif tag == f"{M_NS}oMath":
+                latex = omml_to_latex(child).strip()
+                if latex:
+                    segs.append(_Seg(latex, None, link, is_math=True))
             elif tag in (f"{W}pPr",):
                 continue
             else:
@@ -223,10 +230,10 @@ def _collect_segments(p, rels, drawings: list, textboxes: list) -> list[_Seg]:
     # merge adjacent segments with identical formatting + link
     merged: list[_Seg] = []
     for s in segs:
-        if merged and merged[-1].key() == s.key():
+        if merged and merged[-1].key() == s.key() and not s.is_math:
             merged[-1].text += s.text
         else:
-            merged.append(_Seg(s.text, s.fmt, s.link))
+            merged.append(_Seg(s.text, s.fmt, s.link, s.is_math))
     return merged
 
 
@@ -237,7 +244,9 @@ def _cell_text(tc, rels) -> str:
     parts = []
     for p in tc.findall(f"{W}p"):
         segs = _collect_segments(p, rels, [], [])
-        t = "".join(s.text for s in segs).strip()
+        t = "".join(
+            f"${s.text}$" if s.is_math else s.text for s in segs
+        ).strip()
         if t:
             parts.append(t)
     return " ".join(parts)
@@ -344,6 +353,38 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
         style = _para_style(p)
         num = _para_numbering(p)
 
+        has_math = any(s.is_math for s in segs)
+        if has_math:
+            list_stack.clear()
+            plain = "".join(s.text for s in segs if not s.is_math).strip()
+            if not plain:
+                # standalone equation(s) (msword_backend.py:877-885)
+                doc.add_text(
+                    label="formula",
+                    text="".join(s.text for s in segs if s.is_math),
+                    parent=current_parent(),
+                )
+            else:
+                # inline equation: alternating paragraph/formula nodes in
+                # an inline group; pre-equation text keeps its trailing
+                # whitespace, the final tail is stripped
+                # (msword_backend.py:886-917)
+                inline = doc.add_group("inline", parent=current_parent())
+                last_math_i = max(i for i, s in enumerate(segs) if s.is_math)
+                for i, s in enumerate(segs):
+                    if s.is_math:
+                        doc.add_text(label="formula", text=s.text, parent=inline)
+                        continue
+                    t = s.text.strip() if i > last_math_i else s.text
+                    if t:
+                        doc.add_text(
+                            label="paragraph", text=t, formatting=s.fmt,
+                            hyperlink=s.link, parent=inline,
+                        )
+            for _ in drawings:
+                pass
+            drawings.clear()
+            return
         m = _HEADING_RE.match(style)
         is_title = style.lower() == "title"
         if text and (m or is_title):

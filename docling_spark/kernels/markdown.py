@@ -60,6 +60,8 @@ def _escape_text(text: str) -> str:
 
 def _render_inline(node: DocNode) -> str:
     """Render a text-like item with formatting + hyperlink markers."""
+    if node.kind == "formula":
+        return f"${node.text}$" if node.text else ""
     if node.kind == CODE:
         return f"`{node.text}`"
     text = _escape_text(node.text)
@@ -195,6 +197,8 @@ class MarkdownSerializer:
             blocks = [f"# {_render_inline(node)}"]
         elif kind == SECTION_HEADER:
             blocks = [f"{'#' * (node.level + 1)} {_render_inline(node)}"]
+        elif kind == "formula":
+            blocks = [f"$${node.text}$$"] if node.text else []
         elif kind in (TEXT, CAPTION, LIST_ITEM, "paragraph"):
             r = _render_inline(node)
             blocks = [r] if r else []

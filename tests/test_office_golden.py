@@ -2,9 +2,9 @@
 reference's own fixtures and groundtruth — byte-identical markdown
 (and itxt where the groundtruth provides it).
 
-The two DOCX equation fixtures are excluded: they require OMML->LaTeX
-rendering (reference: docling/backend/docx/latex/omml.py), which is a
-documented gap — equations currently emit their plain text.
+All 13 DOCX fixtures pass byte-identically, including the OMML
+equation ones (kernels/omml.py renders OMML -> LaTeX with the
+reference's pylatexenc-derived spacing).
 """
 
 import pathlib
@@ -21,10 +21,7 @@ from docling_spark.operators.convert import convert_one
 DATA = pathlib.Path("/root/reference/tests/data")
 GT = pathlib.Path("/root/reference/tests/data/groundtruth/docling_v2")
 
-DOCX_SKIP = {"equations.docx", "table_with_equations.docx"}  # OMML gap
-DOCX = sorted(
-    f.name for f in (DATA / "docx").glob("*.docx") if f.name not in DOCX_SKIP
-)
+DOCX = sorted(f.name for f in (DATA / "docx").glob("*.docx"))
 XLSX = sorted(f.name for f in (DATA / "xlsx").glob("*"))
 PPTX = sorted(f.name for f in (DATA / "pptx").glob("*.pptx"))
 
