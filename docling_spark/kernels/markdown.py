@@ -63,7 +63,14 @@ def _render_inline(node: DocNode) -> str:
     if node.kind == "formula":
         return f"${node.text}$" if node.text else ""
     if node.kind == CODE:
-        return f"`{node.text}`"
+        text = f"`{node.text}`"
+        f = node.formatting
+        if f is not None:
+            if f.bold:
+                text = f"**{text}**"
+            if f.italic:
+                text = f"*{text}*"
+        return text
     text = _escape_text(node.text)
     f = node.formatting
     if f is not None and text:
@@ -126,20 +133,27 @@ def render_table(table: TableDataIR) -> str:
             ]
         )
 
+    def _visible(s: str) -> int:
+        # tabulate measures via wcswidth, which returns -1 for strings
+        # holding control chars (e.g. an embedded tab, csv-tab golden);
+        # such cells don't widen the column and get width+1 padding
+        return -1 if any(ord(ch) < 32 for ch in s) else len(s)
+
     widths = []
     for c in range(ncols):
         w = len(headers[c]) + 2  # tabulate MIN_PADDING on headers
         for row in cells:
-            w = max(w, len(row[c]))
+            w = max(w, _visible(row[c]))
         widths.append(w)
+
+    def _pad(s: str, w: int, right: bool) -> str:
+        fill = " " * max(w - _visible(s), 0)
+        return fill + s if right else s + fill
 
     def fmt_row(row: list[str]) -> str:
         out = []
         for c in range(ncols):
-            if numeric[c]:
-                out.append(row[c].rjust(widths[c]))
-            else:
-                out.append(row[c].ljust(widths[c]))
+            out.append(_pad(row[c], widths[c], right=numeric[c]))
         return "| " + " | ".join(out) + " |"
 
     lines = [fmt_row(headers)]
@@ -193,10 +207,30 @@ class MarkdownSerializer:
                     out.extend(self._ser(c, list_depth))
             return out
 
-        if kind == TITLE:
-            blocks = [f"# {_render_inline(node)}"]
-        elif kind == SECTION_HEADER:
-            blocks = [f"{'#' * (node.level + 1)} {_render_inline(node)}"]
+        if kind in (TITLE, SECTION_HEADER):
+            prefix = "#" if kind == TITLE else "#" * (node.level + 1)
+            head = _render_inline(node)
+            inline_children = [
+                c for c in doc.children_of(node)
+                if c.kind == GROUP and c.group_label == G_INLINE
+                and c.name == "heading-runs" and self._visible(c)
+            ]
+            parts = [head] if head else []
+            for g in inline_children:
+                joined = " ".join(
+                    _render_inline(c) for c in doc.children_of(g) if self._visible(c)
+                )
+                if joined:
+                    parts.append(joined)
+            blocks = [f"{prefix} {' '.join(parts)}"]
+            rest = []
+            for c in doc.children_of(node):
+                if c in inline_children:
+                    continue
+                if self._visible(c):
+                    rest.extend(self._ser(c, list_depth))
+            blocks.extend(rest)
+            return blocks
         elif kind == "formula":
             blocks = [f"$${node.text}$$"] if node.text else []
         elif kind in (TEXT, CAPTION, LIST_ITEM, "paragraph"):

@@ -134,3 +134,34 @@ def test_convert_one_chunks_and_doctags():
     )
     assert r["n_chunks"] >= 2
     assert r["doctags"].startswith("<doctag>")
+
+
+# ------------------------------------------- full fixture-golden parity
+
+
+import pathlib as _pl
+
+_GT = _pl.Path("/root/reference/tests/data/groundtruth/docling_v2")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(f.name for f in _pl.Path("/root/reference/tests/data/csv").glob("*.csv"))
+)
+def test_csv_golden_byte_identical(name):
+    from docling_spark.kernels.textout import to_indented_text
+
+    raw = (_pl.Path("/root/reference/tests/data/csv") / name).read_bytes()
+    doc = parse_csv(raw, name=name.rsplit(".", 1)[0])
+    assert to_markdown(doc) == (_GT / f"{name}.md").read_text()
+    assert to_indented_text(doc) == (_GT / f"{name}.itxt").read_text()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(f.name for f in _pl.Path("/root/reference/tests/data/md").glob("*.md"))
+)
+def test_md_golden_byte_identical(name):
+    """The reference's md goldens carry one trailing newline (their
+    test harness writes with newline; html goldens don't)."""
+    raw = (_pl.Path("/root/reference/tests/data/md") / name).read_bytes()
+    doc = parse_markdown(raw, name=name.rsplit(".", 1)[0])
+    assert to_markdown(doc) + "\n" == (_GT / f"{name}.md").read_text()
