@@ -121,7 +121,9 @@ def render_table(table: TableDataIR) -> str:
     ncols = table.num_cols
     numeric = []
     for c in range(ncols):
-        vals = [row[c] for row in body if row[c] != ""]
+        # tabulate: a column is numeric only if EVERY body cell parses
+        # as a number — an empty cell makes it textual (pone golden)
+        vals = [row[c] for row in body]
         numeric.append(bool(vals) and all(_is_number(v) for v in vals))
 
     cells: list[list[str]] = []
@@ -173,7 +175,9 @@ class MarkdownSerializer:
         # caption items referenced by pictures are rendered inside the
         # picture block, never standalone
         self.caption_refs = {
-            n.caption_id for n in doc.nodes if n.kind == PICTURE and n.caption_id >= 0
+            n.caption_id
+            for n in doc.nodes
+            if n.kind in (PICTURE, TABLE) and n.caption_id >= 0
         }
 
     def _visible(self, node: DocNode) -> bool:
@@ -249,7 +253,13 @@ class MarkdownSerializer:
             blocks = ["\n\n".join(parts)]
         elif kind == TABLE:
             rendered = render_table(node.table) if node.table else ""
-            blocks = [rendered] if rendered else []
+            blocks = []
+            if node.caption_id >= 0:
+                cap_text = _escape_text(doc.nodes[node.caption_id].text)
+                if cap_text:
+                    blocks.append(cap_text)
+            if rendered:
+                blocks.append(rendered)
         else:
             blocks = []
 

@@ -81,10 +81,11 @@ def text_spans(doc: Doc) -> list[tuple[int, str, int, int]]:
 
 
 def _itxt_clip(text: str, max_text_len: int) -> str:
-    # Empirically derived from the groundtruth corpus (wiki_duck): texts
-    # up to 72 chars are kept verbatim, >= 75 are clipped to
-    # first-32 + " ... " + last-38; threshold modeled as max_text_len+2.
-    if len(text) <= max_text_len + 2:
+    # Empirically derived from the groundtruth corpora: texts up to 74
+    # chars stay verbatim (wiki_duck keeps 72, elife keeps a 74-char
+    # heading), 75+ are clipped to first-32 + " ... " + last-38 — i.e.
+    # clip exactly when the clipped form would not be longer.
+    if len(text) < max_text_len + 5:
         return text
     half = max_text_len // 2
     return text[: half - 3] + " ... " + text[-(half + 3) :]
@@ -112,16 +113,21 @@ def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
             lines.append(f"{pad}item-{n} at level {level}: picture")
             if node.caption_id >= 0:
                 cap = doc.nodes[node.caption_id]
-                if cap.text:
+                if cap.text:  # caption child lines are NOT clipped
                     lines.append(
-                        f"{pad}  item-{n} at level {level + 1}: caption: "
-                        f"{_itxt_clip(cap.text, max_text_len)}"
+                        f"{pad}  item-{n} at level {level + 1}: caption: {cap.text}"
                     )
         elif node.kind == TABLE and node.table is not None:
             lines.append(
                 f"{pad}item-{n} at level {level}: table with "
                 f"[{node.table.num_rows}x{node.table.num_cols}]"
             )
+            if node.caption_id >= 0:
+                cap = doc.nodes[node.caption_id]
+                if cap.text:
+                    lines.append(
+                        f"{pad}  item-{n} at level {level + 1}: caption: {cap.text}"
+                    )
         elif node.kind == GROUP:
             lines.append(
                 f"{pad}item-{n} at level {level}: {node.group_label}: "

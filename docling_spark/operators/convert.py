@@ -79,8 +79,16 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
     try:
         if sys.getrecursionlimit() < _KERNEL_RECURSION_LIMIT:
             sys.setrecursionlimit(_KERNEL_RECURSION_LIMIT)
-        if fmt == "html" or fmt == "xml":
+        if fmt == "html":
             doc = HtmlExtractor(original_url=url).convert(payload)
+        elif fmt in ("xml", "xml_jats"):
+            from docling_spark.kernels.jats_kernel import parse_jats
+
+            if fmt == "xml_jats" or b"<article" in payload[:8192]:
+                base["fmt"] = "xml_jats"
+                doc = parse_jats(payload, name=url)
+            else:
+                doc = HtmlExtractor(original_url=url).convert(payload)
         elif fmt == "pdf":
             doc, _scores = build_doc(parse_pdf(payload), name=url)
         elif fmt == "office":
@@ -105,9 +113,15 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
         elif fmt == "csv":
             doc = parse_csv(payload, name=url)
         elif fmt == "text":
-            # plain text or markdown — the md parser degrades to
-            # paragraphs for plain text, like the reference's MD route
-            doc = parse_markdown(payload, name=url)
+            # plain text, markdown, or asciidoc (title/section markers)
+            head = payload[:2048].decode("utf-8", errors="replace")
+            if head.startswith("= ") or "\n== " in head:
+                from docling_spark.kernels.asciidoc_kernel import parse_asciidoc
+
+                base["fmt"] = "asciidoc"
+                doc = parse_asciidoc(payload, name=url)
+            else:
+                doc = parse_markdown(payload, name=url)
         else:
             return {
                 **base,

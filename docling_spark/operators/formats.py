@@ -38,6 +38,17 @@ def sniff_format(head: bytes) -> str:
         if head.startswith(magic):
             return fmt
     probe = head[:8192]
+    # an XML prolog wins over the HTML tag probe: JATS/USPTO documents
+    # contain <body>/<p> tags that would otherwise sniff as HTML
+    # (reference disambiguation: document.py:340-374)
+    if probe.lstrip().startswith(b"<?xml"):
+        if b"uspto" in probe.lower():
+            return "xml_uspto"
+        if b"jats" in probe.lower() or b"<article" in probe.lower():
+            return "xml_jats"
+        if _HTML_RE.search(probe):
+            return "html"
+        return "xml"
     if _HTML_RE.search(probe):
         return "html"
     if _XML_RE.match(probe):
