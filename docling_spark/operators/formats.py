@@ -41,7 +41,15 @@ def sniff_format(head: bytes) -> str:
     # an XML prolog wins over the HTML tag probe: JATS/USPTO documents
     # contain <body>/<p> tags that would otherwise sniff as HTML
     # (reference disambiguation: document.py:340-374)
-    if probe.lstrip().startswith(b"<?xml"):
+    ls = probe.lstrip()
+    if ls.startswith(b"<!DOCTYPE") and not ls[:64].lower().startswith(b"<!doctype html"):
+        # non-HTML doctype: reference keys JATS/USPTO off the DTD name
+        # (document.py:340-374)
+        if b"JATS" in probe or b"NLM//DTD" in probe:
+            return "xml_jats"
+        if b"us-patent" in probe.lower() or b"uspto" in probe.lower():
+            return "xml_uspto"
+    if ls.startswith(b"<?xml"):
         if b"uspto" in probe.lower():
             return "xml_uspto"
         if b"jats" in probe.lower() or b"<article" in probe.lower():
