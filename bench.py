@@ -43,6 +43,10 @@ def build_spark(cpus: int):
             "spark.driver.extraJavaOptions",
             "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
         )
+        # each Python-UDF task = 1 JVM thread + 1 python worker process;
+        # reserving 2 cores per task keeps runnable threads == cores
+        # (measured 2x extraction throughput at local[32])
+        .config("spark.task.cpus", "2")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
