@@ -224,12 +224,16 @@ def parse_table_data(element: Tag) -> Optional[TableDataIR]:
     if element.find("table") is not None:
         return None  # nested table: skip (reference :1002-1005)
 
+    # hoist the row/cell scans: the reference re-runs soup("tr") and
+    # row(["td","th"]) per pass; identical results, ~2x fewer traversals
+    rows_cells = [(row, row(["td", "th"])) for row in element("tr")]
+
     num_rows = 0
     num_cols = 0
-    for row in element("tr"):
+    for row, row_cells in rows_cells:
         col_count = 0
         is_row_header = True
-        for cell in row(["td", "th"]):
+        for cell in row_cells:
             col_span, row_span = _get_cell_spans(cell)
             col_count += col_span
             if cell.name == "td" or row_span == 1:
@@ -243,8 +247,7 @@ def parse_table_data(element: Tag) -> Optional[TableDataIR]:
 
     start_row_span = 0
     row_idx = -1
-    for row in element("tr"):
-        cells = row(["td", "th"])
+    for row, cells in rows_cells:
 
         col_header = True
         row_header = True
