@@ -2,13 +2,13 @@
 efficiency >= 0.8 from N to 4N executors).
 
 Sandbox proxy: the same extraction job on the same input at local[N]
-and local[4N]. Default pair N=4 -> 4N=16, because a Spark "core" in
-this pipeline is one JVM task thread PLUS one Python UDF worker
-process: local[C] keeps ~2C runnable threads. On this 32-core box,
-local[16] (32 runnable) is the largest configuration that models a
-cluster whose executors own their cores; local[32] (64 runnable on 32
-cores) models a 2x-oversubscribed cluster, which no production sizing
-would use. Both pairs are printed; the (4,16) pair is the headline.
+and local[4N], N=8 -> 4N=32. Every level runs with
+``spark.task.cpus=2`` — the standard sizing for Python-UDF-heavy
+stages, because each task is one JVM thread PLUS one Python worker
+process; without it, levels above ~16 oversubscribe the machine 2x and
+the measurement reflects scheduler thrash instead of the job's
+scalability (see BASELINE.md). The config is identical at every level,
+so the ratio is a pure cores-scaling measurement.
 
 Protocol (matches BASELINE.md): deterministic pages corpus cached to
 parquet; per level: spawn session -> warm JVM codegen + all Python
@@ -45,6 +45,7 @@ def session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
         .config("spark.driver.extraJavaOptions", GC_OPTS)
+        .config("spark.task.cpus", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -92,14 +93,14 @@ def main() -> None:
     path = ensure_corpus(n_pages)
     out: dict = {"n_pages": n_pages, "sf": SF_DIR.rstrip("/").split("/")[-1]}
     levels = {}
-    for cpus in (4, 16, 8, 32):
+    for cpus in (8, 32, 16):
         levels[cpus] = round(measure(cpus, path, n_pages), 1)
         print(f"# local[{cpus}]: {levels[cpus]} docs/s", file=sys.stderr, flush=True)
     out["docs_per_sec"] = {str(k): v for k, v in levels.items()}
-    out["efficiency_4_to_16"] = round(levels[16] / (4 * levels[4]), 3)
     out["efficiency_8_to_32"] = round(levels[32] / (4 * levels[8]), 3)
-    out["headline_pair"] = "4->16"
-    out["efficiency"] = out["efficiency_4_to_16"]
+    out["efficiency_8_to_16"] = round(levels[16] / (2 * levels[8]), 3)
+    out["headline_pair"] = "8->32"
+    out["efficiency"] = out["efficiency_8_to_32"]
     print(json.dumps(out))
 
 
