@@ -24,6 +24,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings plus deterministic scaled copies (vec_id % 7, v * 2):
+    exact-direction duplicates (cosine == 1.0) so the near-dup operator
+    has true positives on the synthetic corpus (max cosine between
+    distinct synthetic vectors is ~0.6). Scaling by 2 is exact in IEEE
+    float, so the copies hash into the same LSH bucket in every band."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 2.0d)").alias("embedding"),
+    )
+    return e.unionByName(copies)
+
+
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus forced exact duplicates (doc_id % 17) so the
     dedup operators have real work on the synthetic corpus."""
@@ -164,10 +180,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_dup_groups(_corpus_with_dups(spark, sf_dir))
 
     def q_jaccard_pairs(spark, sf_dir):
-        return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.95)
+        # max_doc_freq caps hub tokens (document frequency > 100) so the
+        # token self-join never routes a stopword through one reducer —
+        # the skew guard the operator exists for, mirrored in the oracle
+        return dedup.ngram_jaccard_pairs(
+            _docs(spark, sf_dir), threshold=0.95, max_doc_freq=100
+        )
 
     def q_near_dup_embeddings(spark, sf_dir):
-        return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.3)
+        # banded-LSH candidates + exact cosine verify (equi-join plan,
+        # no BroadcastNestedLoopJoin); the oracle twin is brute-force SQL
+        # over the same corpus — recall is exact here because the
+        # injected near-dups are scaled copies (identical LSH signature)
+        return dedup.embedding_near_dups_lsh(
+            _emb_with_neardups(spark, sf_dir), threshold=0.99
+        )
 
     def q_ann_topk(spark, sf_dir):
         return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
@@ -438,10 +465,14 @@ def oracle_sql() -> dict[str, str]:
             having count(*) > 1 order by fp_md5
         """,
         "q_jaccard_pairs": """
-            with toks as (
+            with toks0 as (
               select doc_id,
                      unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) as token
               from documents where trim(text) != ''),
+            rare as (
+              select token from toks0 group by token
+              having count(*) <= 100),
+            toks as (select t.* from toks0 t join rare using (token)),
             sizes as (select doc_id, cast(count(*) as bigint) as sz from toks group by doc_id),
             inter as (
               select a.doc_id as doc_a, b.doc_id as doc_b,
@@ -458,15 +489,21 @@ def oracle_sql() -> dict[str, str]:
             order by doc_a, doc_b
         """,
         "q_near_dup_embeddings": """
-            with e as (
-              select vec_id, embedding::DOUBLE[] as v,
-                     sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum')) as norm
-              from embeddings)
+            with base as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            corpus as (
+              select vec_id, v from base
+              union all
+              select vec_id + 100000 as vec_id, list_transform(v, x -> x * 2) as v
+              from base where vec_id % 7 = 0),
+            e as (
+              select vec_id, v,
+                     sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) as norm
+              from corpus)
             select a.vec_id as vec_a, b.vec_id as vec_b,
                    round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) as cos_sim
             from e a, e b
             where a.vec_id < b.vec_id
-              and list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.3
+              and list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.99
             order by vec_a, vec_b
         """,
         "q_ann_topk": """

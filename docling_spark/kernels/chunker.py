@@ -70,11 +70,27 @@ def hierarchical_chunks(doc: Doc) -> list[Chunk]:
                 level_stack.pop()
             level_stack.append((node.level, node.text))
         elif node.kind == GROUP and node.group_label == G_LIST:
-            items = [
-                doc.nodes[c].text
-                for c in node.children
-                if doc.nodes[c].kind == LIST_ITEM and doc.nodes[c].text
-            ]
+            # Collect item text recursively: nested list groups live under
+            # LIST_ITEM nodes, and their items belong to the same chunk
+            # (reference merges the whole list subtree into one chunk).
+            items: list[str] = []
+            others: list[int] = []  # non-list content nested under items
+
+            def gather(nid: int) -> None:
+                n = doc.nodes[nid]
+                if n.kind == LIST_ITEM:
+                    if n.text:
+                        items.append(n.text)
+                    for c in n.children:
+                        gather(c)
+                elif n.kind == GROUP:
+                    for c in n.children:
+                        gather(c)
+                else:
+                    others.append(nid)
+
+            for c in node.children:
+                gather(c)
             if items:
                 chunks.append(
                     Chunk(
@@ -84,10 +100,8 @@ def hierarchical_chunks(doc: Doc) -> list[Chunk]:
                         n_items=len(items),
                     )
                 )
-            # nested groups below list items still walk
-            for c in node.children:
-                if doc.nodes[c].kind == GROUP:
-                    walk(c)
+            for nid in others:
+                walk(nid)
             return
         elif node.kind == TABLE:
             text = _table_text(node)

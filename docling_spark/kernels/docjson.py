@@ -146,7 +146,7 @@ def export_to_dict(
         elif node.kind == TABLE:
             base["label"] = "table"
             base["prov"] = []
-            base["captions"] = []
+            base["captions"] = [ref(node.caption_id)] if node.caption_id >= 0 else []
             base["references"] = []
             base["footnotes"] = []
             base["data"] = _table_data_dict(node.table or TableDataIR(0, 0, []))
@@ -315,7 +315,7 @@ def doc_from_dict(d: dict) -> Doc:
             node = by_ref[item["self_ref"]]
             node.parent_id = resolve(item.get("parent", {"$ref": "#/body"}))
             node.children = [resolve(c) for c in item.get("children", [])]
-            if pool == "pictures" and item.get("captions"):
+            if pool in ("pictures", "tables") and item.get("captions"):
                 node.caption_id = resolve(item["captions"][0])
     for c in d.get("body", {}).get("children", []):
         doc.body_children.append(resolve(c))

@@ -356,6 +356,10 @@ class _Jats:
                 self.add_table_wrap(parent, child)
                 stop_walk = True
             elif child.tag == "suplementary-material":
+                # sic: matches the reference's own misspelling
+                # (jats_backend.py:663) — kept for byte-parity; real
+                # "supplementary-material" elements are walked into text
+                # exactly as the reference does.
                 stop_walk = True
             elif child.tag == "fn-group":
                 stop_walk = True

@@ -254,10 +254,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Cosine near-duplicates over an embedding column.
 
-    Brute-force all-pairs — correct baseline, O(n^2): fine for
-    verification scale. The scale path is random-hyperplane LSH
-    (similarity.hyperplane_lsh_buckets) which prunes to bucket-local
-    pairs first.
+    Brute-force all-pairs — correct baseline, O(n^2): the oracle twin
+    at verification scale only. The production path is
+    :func:`embedding_near_dups_lsh` (band-bucketed candidates, no
+    nested-loop join).
     """
     e = df.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -281,5 +281,59 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round("cos", 4).alias("cos_sim"),
         )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    threshold: float = 0.99,
+    n_bands: int = 4,
+    bits_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicates via banded hyperplane LSH — the 100 TB
+    plan shape.
+
+    Candidates come from an **equi-join on (band_id, band_val)** (a
+    hash-partitioned shuffle, never a BroadcastNestedLoopJoin); the
+    exact cosine filter then verifies each candidate. Work is
+    O(sum over buckets of bucket_size^2), controlled by
+    ``bits_per_band`` (more bits -> smaller buckets); recall per the
+    banding analysis in :func:`similarity.hyperplane_lsh_bands` —
+    exact-direction duplicates are recalled with probability 1.
+    Vectors ride along with their band rows so verification needs no
+    second join against the corpus.
+    """
+    from .similarity import hyperplane_lsh_bands
+
+    bands = hyperplane_lsh_bands(
+        df, n_bands=n_bands, bits_per_band=bits_per_band, seed=seed
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("a.norm").alias("na"),
+            F.col("b.v").alias("vb"),
+            F.col("b.norm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+            )
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )

@@ -105,9 +105,12 @@ def with_format(df: DataFrame, binary_col: str = "html") -> DataFrame:
 
     @pandas_udf(StringType())
     def detect(payloads):
-        return payloads.map(lambda b: sniff_format(bytes(b[:8192]) if b is not None else b""))
+        return payloads.map(lambda b: sniff_format(bytes(b) if b is not None else b""))
 
-    return df.withColumn("fmt", detect(F.col(binary_col)))
+    # Truncate to the 8 KB sniff window JVM-side (F.substring on binary)
+    # so only the prefix crosses Arrow into Python — on multi-MB PDFs
+    # this is a multiple-x saving on the serialization for this stage.
+    return df.withColumn("fmt", detect(F.substring(F.col(binary_col), 1, 8192)))
 
 
 def format_rollup(df: DataFrame, binary_col: str = "html") -> DataFrame:

@@ -35,11 +35,17 @@ def write_lineage(results: DataFrame, path: str, attempt: int = 0) -> None:
 
 
 def resume_filter(pages: DataFrame, spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Drop pages already extracted successfully in a previous attempt."""
+    """Drop pages already handled in a previous attempt.
+
+    Both ``success`` and ``skipped`` rows are terminal: retrying a
+    skipped page re-runs the limits gate with identical inputs and the
+    same outcome, so resume drops both (keeps lineage append-only
+    without per-attempt duplicate skip rows).
+    """
     try:
         done = (
             spark.read.parquet(lineage_path)
-            .filter(F.col("status") == "success")
+            .filter(F.col("status").isin("success", "skipped"))
             .select("url")
             .distinct()
         )

@@ -83,6 +83,43 @@ def hyperplane_lsh_buckets(df: DataFrame, n_bits: int = 12, seed: int = 42) -> D
     ).select("vec_id", "v", "norm", "bucket")
 
 
+def hyperplane_lsh_bands(
+    df: DataFrame, n_bands: int = 4, bits_per_band: int = 8, seed: int = 42
+) -> DataFrame:
+    """Banded random-hyperplane LSH: one row per (vector, band).
+
+    OR-amplification across ``n_bands`` independent ``bits_per_band``-bit
+    tables: two vectors are candidates iff they agree on ALL bits of at
+    least one band. For cosine >= 0.99 (angle <= 8.1 deg, per-bit
+    agreement p >= 0.955) the 4x8 default catches a pair with
+    probability 1 - (1 - p^8)^4 > 0.97; exact-direction duplicates
+    (scaled copies) hash identically in every band, so recall for those
+    is 1.0 by construction. Planes are the same deterministic seeded
+    family as :func:`hyperplane_lsh_buckets`.
+    """
+    e = _with_norm(df)
+    total = n_bands * bits_per_band
+    bit = (
+        f"transform(sequence(0, {total - 1}), b -> "
+        f"case when aggregate(zip_with(v, sequence(0, size(v) - 1), "
+        f"(x, j) -> x * (case when xxhash64(b, j, {seed}) % 2 = 0 then 1.0d else -1.0d end)), "
+        f"0.0d, (acc, x) -> acc + x) > 0 then 1L else 0L end)"
+    )
+    return e.withColumn("bits", F.expr(bit)).select(
+        "vec_id",
+        "v",
+        "norm",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), g -> "
+                f"aggregate(zip_with(slice(bits, g * {bits_per_band} + 1, {bits_per_band}), "
+                f"sequence(0, {bits_per_band - 1}), (x, b) -> shiftleft(x, cast(b as int))), "
+                f"0L, (acc, x) -> acc | x))"
+            )
+        ).alias("band_id", "band_val"),
+    )
+
+
 def lsh_topk(
     df: DataFrame, query_ids: list[int], k: int = 10, n_bits: int = 8, seed: int = 42
 ) -> DataFrame:

@@ -1,6 +1,7 @@
 """Chunkers (E6) and the Structured Streaming front-end."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from docling_spark.kernels.chunker import (
     contextualize,
@@ -34,6 +35,22 @@ def test_hierarchical_chunks_shape():
     assert contextualize(method_chunk).startswith("Doc Title\nMethods\n")
 
 
+def test_hierarchical_chunks_nested_list_items():
+    # nested list groups live under LIST_ITEM nodes; their items must
+    # land in the list chunk, not be silently dropped
+    doc = HtmlExtractor().convert(
+        b"<html><body><ul><li>outer1<ul><li>inner1</li><li>inner2</li></ul>"
+        b"</li><li>outer2</li></ul></body></html>"
+    )
+    chunks = hierarchical_chunks(doc)
+    lists = [c for c in chunks if c.kind == "list"]
+    assert len(lists) == 1
+    all_text = lists[0].text
+    for item in ("outer1", "inner1", "inner2", "outer2"):
+        assert item in all_text, f"{item} missing from list chunk"
+    assert lists[0].n_items == 4
+
+
 def test_hybrid_chunks_split_and_merge():
     long_para = " ".join(f"w{i}" for i in range(300))
     doc = HtmlExtractor().convert(
@@ -55,7 +72,14 @@ def test_chunk_pages_spark(spark):
 
     pages = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=60)
     ch = chunk_pages(pages, num_partitions=8).cache()
-    assert ch.filter(ch.n_tokens > 128).count() == 0 or True  # context-aware budget
+    # context-aware budget: contextualized tokens (headings + body) stay
+    # within max_tokens, except when the heading path alone eats the
+    # budget and the splitter falls back to its 8-token floor.
+    over_budget = ch.filter(
+        (F.size(F.split(F.col("context_text"), r"\s+")) > 128)
+        & (F.col("n_tokens") > 8)
+    ).count()
+    assert over_budget == 0
     n = ch.count()
     assert n > 60  # multiple chunks per page
     stats = {r["kind"]: r["n_chunks"] for r in chunk_stats(ch).collect()}

@@ -49,6 +49,25 @@ def test_asciidoc_pictures_and_captions():
     assert cap.text == "An example caption"
 
 
+def test_asciidoc_table_caption_json_roundtrip():
+    # table captions must survive export_to_dict -> doc_from_dict
+    # (reference schema refs captions on TableItem like PictureItem)
+    from docling_spark.kernels.docjson import doc_from_dict, export_to_dict
+    from docling_spark.kernels.markdown import to_markdown
+
+    src = b".Sales table\n|===\n|a |b\n|1 |2\n|===\n"
+    doc = parse_asciidoc(src)
+    tables = [n for n in doc.nodes if n.kind == "table"]
+    assert len(tables) == 1 and tables[0].caption_id >= 0
+    d = export_to_dict(doc, filename="t.adoc", raw=src)
+    assert d["tables"][0]["captions"], "table caption ref missing from JSON"
+    doc2 = doc_from_dict(d)
+    t2 = [n for n in doc2.nodes if n.kind == "table"][0]
+    assert t2.caption_id >= 0
+    assert doc2.nodes[t2.caption_id].text == "Sales table"
+    assert to_markdown(doc2) == to_markdown(doc)
+
+
 def test_router_dispatches_jats_and_asciidoc():
     r = convert_one("u", (DATA / "jats" / "elife-56337.nxml").read_bytes())
     assert (r["fmt"], r["status"]) == ("xml_jats", "success")

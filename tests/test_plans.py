@@ -68,3 +68,44 @@ def test_limits_gate_stays_jvm_side(spark, pages_path):
     pages = spark.read.parquet(pages_path)
     plan = _plan(limits_gate(pages, max_bytes=1024))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_near_dup_embeddings_no_nested_loop(spark):
+    """The registered embedding near-dup must be the banded-LSH
+    equi-join plan, never an all-pairs BroadcastNestedLoopJoin."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["q_near_dup_embeddings"](spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_lsh_matches_brute_force(spark):
+    """Recall check: the LSH plan returns exactly the brute-force pair
+    set on the synthetic corpus (scaled copies hash identically in
+    every band, so recall is 1.0 by construction)."""
+    import __spark_entry__ as entry
+    from docling_spark.operators import dedup
+
+    corpus = entry._emb_with_neardups(spark, "/root/testdata/sf0.001")
+    lsh = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.embedding_near_dups_lsh(corpus, threshold=0.99).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dedup.embedding_near_dups(corpus, threshold=0.99).collect()
+    }
+    assert lsh == brute and len(lsh) > 0
+
+
+def test_jaccard_pairs_caps_hub_tokens(spark):
+    """The registered jaccard query must carry its document-frequency
+    skew guard: the optimized plan contains the df <= 100 post-agg
+    filter on the token relation."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["q_jaccard_pairs"](spark, "/root/testdata/sf0.001")
+    plan = _optimized(q)
+    assert "<= 100" in plan, "max_doc_freq cap missing from the plan"
