@@ -132,6 +132,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "status", "n_pages", "n_nodes", "parse_score", "md"
         ).orderBy("url")
 
+    def x_pdf_real(spark, sf_dir):
+        """Mixed-producer PDF corpus (classic xref, xref-stream +
+        ObjStm + Identity-H CID, xref-stream simple-font): every
+        producer shape must extract with status=success and a clean
+        parse score — the round-1 reader saw the modern shapes as
+        empty/garbled."""
+        from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+        pdfs = synthesize_pdf_pages(spark, sf_dir, n_docs=200, mixed_producers=True)
+        res = extract_pdf.extract_pdf_docs(pdfs, num_partitions=16)
+        return (
+            res.withColumn(
+                "doc_id", F.regexp_extract("url", r"/doc/(\d+)\.pdf", 1).cast("long")
+            )
+            .withColumn(
+                "producer",
+                F.element_at(
+                    F.array(F.lit("classic"), F.lit("cid_objstm"), F.lit("xrefstream")),
+                    (F.col("doc_id") % 3 + 1).cast("int"),
+                ),
+            )
+            .groupBy("producer", "status")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg("parse_score"), 4).alias("avg_parse_score"),
+                F.sum("n_nodes").alias("total_nodes"),
+            )
+            .orderBy("producer", "status")
+        )
+
     def x_pdf_confidence(spark, sf_dir):
         from docling_spark.sources.pdfgen import synthesize_pdf_pages
 
@@ -360,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lsh_topk": x_lsh_topk,
         "x_media_rollup": x_media_rollup,
         "x_pdf_extract": x_pdf_extract,
+        "x_pdf_real": x_pdf_real,
         "x_pdf_confidence": x_pdf_confidence,
         "x_chunks": x_chunks,
         "x_convert_mixed": x_convert_mixed,

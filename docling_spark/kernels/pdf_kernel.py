@@ -7,17 +7,27 @@ no pypdfium2/C++ parser, so this is a real — deliberately small — PDF
 reader for the "programmatic text" subset that matters for a crawl
 pipeline:
 
-* classic cross-reference tables AND a lenient full-file object scan
-  (crawl PDFs are frequently truncated or have broken xref offsets);
-* FlateDecode streams (zlib is stdlib); unfiltered streams;
-* page-tree walk with MediaBox inheritance;
+* classic cross-reference tables, cross-reference streams (PDF 1.5+),
+  AND a lenient full-file object scan (crawl PDFs are frequently
+  truncated or have broken xref offsets);
+* object streams (``/ObjStm``): compressed-object containers are
+  expanded after the scan, so post-2005 files whose catalog/page/font
+  dicts live inside them parse fully;
+* FlateDecode (with PNG predictors), ASCIIHexDecode and ASCII85Decode
+  filter chains; unfiltered streams;
+* page-tree walk with MediaBox AND Resources inheritance;
 * content-stream text interpreter: BT/ET, Tf, Td, TD, TL, Tm, T*,
-  Tj, ', ", TJ with full text-matrix tracking.
+  Tj, ', ", TJ with full text-matrix tracking;
+* font-aware string decoding: Type0/Identity-H two-byte CIDs mapped
+  through the embedded /ToUnicode CMap (bfchar + bfrange incl. array
+  form), simple-font /Differences encodings via an AGL subset, and
+  real advance widths from CIDFont /W and simple-font /Widths.
 
-Out of scope (documented, gated): encrypted files, object streams
-(/ObjStm), CID/CMap font decoding (strings are decoded as
-PDFDocEncoding≈latin-1), CTM tracking for rotated/scaled pages. Cells
-from such files degrade to fewer/garbled cells and are caught by the
+Out of scope (documented, gated): encrypted files (detected from the
+trailer /Encrypt and raised as a typed error -> failure row, never
+garbled output), embedded-CMap (non-Identity) code space parsing beyond
+the 1/2-byte heuristic, glyph outlines/rasterization, CTM tracking for
+rotated/scaled pages. Cells from degraded files are caught by the
 parse-quality score (pdf_layout.rate_text_quality) instead of crashing
 — errors-as-data, like the rest of the engine.
 
@@ -247,6 +257,8 @@ class PdfDocument:
         self.data = data
         self.objects: dict[int, tuple[object, bytes | None]] = {}
         self._scan_objects()
+        self._check_encryption()
+        self._expand_object_streams()
         if not self.objects:
             raise PdfError("no objects found")
 
@@ -301,20 +313,142 @@ class PdfDocument:
                 raise PdfError("reference cycle")
         return v
 
+    def _check_encryption(self) -> None:
+        """Encrypted files are an explicit typed failure, not garbled
+        cells: /Encrypt appears in the trailer dict (classic xref) or
+        the /Type /XRef stream dict (PDF 1.5+)."""
+        for tm in re.finditer(rb"trailer", self.data):
+            try:
+                trailer = _Lexer(self.data, tm.end()).parse_object()
+            except PdfError:
+                continue
+            if isinstance(trailer, dict) and trailer.get("Encrypt") is not None:
+                raise PdfError("encrypted pdf")
+        for value, _ in self.objects.values():
+            if (
+                isinstance(value, dict)
+                and str(value.get("Type")) == "XRef"
+                and value.get("Encrypt") is not None
+            ):
+                raise PdfError("encrypted pdf")
+
+    def _expand_object_streams(self) -> None:
+        """Expand /ObjStm containers: modern writers pack the catalog,
+        page tree, and font dicts into compressed object streams (the
+        reason classic 'N G obj' scans see an empty document on
+        post-2005 files). The container header is N (obj_num, offset)
+        pairs; each object begins at First + offset."""
+        for num, (value, stream) in list(self.objects.items()):
+            if not (
+                isinstance(value, dict)
+                and str(value.get("Type")) == "ObjStm"
+                and stream is not None
+            ):
+                continue
+            try:
+                data = self.stream_bytes(num)
+            except PdfError:
+                continue
+            n = self.resolve(value.get("N"))
+            first = self.resolve(value.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                continue
+            header = _Lexer(data)
+            pairs: list[tuple[int, int]] = []
+            try:
+                for _ in range(n):
+                    onum = header.parse_object()
+                    off = header.parse_object()
+                    pairs.append((int(onum), int(off)))
+            except (PdfError, ValueError, TypeError):
+                pass  # keep whatever pairs parsed before the damage
+            for onum, off in pairs:
+                if 0 <= first + off < len(data):
+                    try:
+                        obj = _Lexer(data, first + off).parse_object()
+                    except PdfError:
+                        continue
+                    # top-level 'N G obj' wins over compressed copies
+                    # (incremental updates append uncompressed objects)
+                    if onum not in self.objects:
+                        self.objects[onum] = (obj, None)
+
+    @staticmethod
+    def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
+        """Reverse PNG row predictors (Predictor >= 10) — used by
+        Flate-compressed xref/object streams."""
+        row_len = columns * bpp
+        out = bytearray()
+        prev = bytearray(row_len)
+        pos = 0
+        while pos + 1 + row_len <= len(data) + row_len and pos < len(data):
+            ftype = data[pos]
+            row = bytearray(data[pos + 1 : pos + 1 + row_len])
+            pos += 1 + row_len
+            if ftype == 1:  # Sub
+                for i in range(bpp, len(row)):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(len(row)):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(len(row)):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(len(row)):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    row[i] = (row[i] + pred) & 0xFF
+            out += row
+            prev = row
+        return bytes(out)
+
     def stream_bytes(self, obj_num: int) -> bytes:
         value, stream = self.objects[obj_num]
         if stream is None:
             return b""
         filt = self.resolve(value.get("Filter")) if isinstance(value, dict) else None
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        parms = self.resolve(value.get("DecodeParms")) if isinstance(value, dict) else None
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         out = stream
-        for f in filters:
-            f = self.resolve(f)
-            if str(f) == "FlateDecode":
+        for f, pm in zip(filters, parms_list):
+            f = str(self.resolve(f))
+            pm = self.resolve(pm)
+            if f == "FlateDecode":
                 try:
                     out = zlib.decompress(out)
                 except zlib.error as e:
                     raise PdfError(f"flate: {e}") from e
+                if isinstance(pm, dict):
+                    pred = self.resolve(pm.get("Predictor")) or 1
+                    if isinstance(pred, int) and pred >= 10:
+                        cols = self.resolve(pm.get("Columns")) or 1
+                        colors = self.resolve(pm.get("Colors")) or 1
+                        bits = self.resolve(pm.get("BitsPerComponent")) or 8
+                        bpp = max((colors * bits) // 8, 1)
+                        out = self._png_unpredict(out, int(cols), bpp)
+            elif f == "ASCIIHexDecode":
+                hexs = re.sub(rb"[^0-9A-Fa-f]", b"", out.split(b">")[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                out = bytes.fromhex(hexs.decode("ascii"))
+            elif f == "ASCII85Decode":
+                import base64
+
+                body = out.split(b"~>")[0]
+                body = re.sub(rb"\s", b"", body)
+                if body.startswith(b"<~"):
+                    body = body[2:]
+                try:
+                    out = base64.a85decode(body)
+                except ValueError as e:
+                    raise PdfError(f"a85: {e}") from e
             else:
                 raise PdfError(f"unsupported filter {f}")
         return out
@@ -333,6 +467,12 @@ class PdfDocument:
                     return root
             except PdfError:
                 pass
+        # PDF 1.5+: no 'trailer' keyword; /Root lives in the xref stream dict
+        for value, _ in self.objects.values():
+            if isinstance(value, dict) and str(value.get("Type")) == "XRef":
+                root = self.resolve(value.get("Root"))
+                if isinstance(root, dict):
+                    return root
         for value, _ in self.objects.values():
             if isinstance(value, dict) and str(value.get("Type")) == "Catalog":
                 return value
@@ -343,20 +483,23 @@ class PdfDocument:
         pages_root = self.resolve(catalog.get("Pages"))
         out: list[dict] = []
 
-        def walk(node, inherited_mediabox, depth=0):
+        def walk(node, inherited_mediabox, inherited_resources, depth=0):
             if not isinstance(node, dict) or depth > 64:
                 return
             mediabox = self.resolve(node.get("MediaBox")) or inherited_mediabox
+            resources = self.resolve(node.get("Resources")) or inherited_resources
             t = str(node.get("Type"))
             if t == "Pages":
                 for kid in self.resolve(node.get("Kids")) or []:
-                    walk(self.resolve(kid), mediabox, depth + 1)
+                    walk(self.resolve(kid), mediabox, resources, depth + 1)
             elif t == "Page":
                 page = dict(node)
                 page["MediaBox"] = mediabox or [0, 0, 612, 792]
+                if resources is not None:
+                    page["Resources"] = resources
                 out.append(page)
 
-        walk(pages_root, None)
+        walk(pages_root, None, None)
         if not out:
             # damaged page tree: treat every /Type /Page object as a page
             for value, _ in self.objects.values():
@@ -365,6 +508,78 @@ class PdfDocument:
                     page["MediaBox"] = self.resolve(value.get("MediaBox")) or [0, 0, 612, 792]
                     out.append(page)
         return out
+
+    def page_fonts(self, page: dict) -> dict:
+        """Resolve the page's /Resources /Font dict into FontInfo
+        objects keyed by resource name (e.g. 'F1')."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fdict = self.resolve(res.get("Font"))
+        if not isinstance(fdict, dict):
+            return {}
+        out = {}
+        for name, fref in fdict.items():
+            fd = self.resolve(fref)
+            if isinstance(fd, dict):
+                try:
+                    out[str(name)] = self._font_info(fd)
+                except PdfError:
+                    continue
+        return out
+
+    def _font_info(self, fd: dict) -> "FontInfo":
+        fi = FontInfo()
+        subtype = str(self.resolve(fd.get("Subtype")))
+        if subtype == "Type0":
+            fi.code_bytes = 2
+            fi.default_width = 1000.0
+            desc = self.resolve(fd.get("DescendantFonts"))
+            if isinstance(desc, list) and desc:
+                df = self.resolve(desc[0])
+                if isinstance(df, dict):
+                    dw = self.resolve(df.get("DW"))
+                    if isinstance(dw, (int, float)):
+                        fi.default_width = float(dw)
+                    w = self.resolve(df.get("W"))
+                    if isinstance(w, list):
+                        fi.widths = _parse_cid_widths(w, self.resolve)
+        else:
+            enc = self.resolve(fd.get("Encoding"))
+            if isinstance(enc, dict):
+                diffs = self.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    fi.diff_map = {}
+                    code = 0
+                    for el in diffs:
+                        el = self.resolve(el)
+                        if isinstance(el, (int, float)):
+                            code = int(el)
+                        elif isinstance(el, Name):
+                            ch = _glyph_to_char(str(el))
+                            if ch is not None:
+                                fi.diff_map[code] = ch
+                            code += 1
+            first_char = self.resolve(fd.get("FirstChar"))
+            widths = self.resolve(fd.get("Widths"))
+            if isinstance(first_char, int) and isinstance(widths, list):
+                fi.widths = {}
+                for j, w in enumerate(widths):
+                    w = self.resolve(w)
+                    if isinstance(w, (int, float)):
+                        fi.widths[first_char + j] = float(w)
+        tu = fd.get("ToUnicode")
+        if isinstance(tu, Ref) and tu.num in self.objects:
+            try:
+                cmap_data = self.stream_bytes(tu.num)
+                mapping, code_bytes = parse_tounicode_cmap(cmap_data)
+                if mapping:
+                    fi.to_unicode = mapping
+                    if fi.code_bytes == 1 and code_bytes == 2:
+                        fi.code_bytes = 2
+            except PdfError:
+                pass
+        return fi
 
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
@@ -377,6 +592,200 @@ class PdfDocument:
                 except PdfError:
                     continue
         return b"\n".join(parts)
+
+
+# ------------------------------------------------------------------ fonts
+
+
+# AGL subset: glyph names seen in crawl-PDF /Differences arrays. Names
+# of the form uniXXXX / uXXXX[XX] are handled programmatically; ASCII
+# letters/digits name themselves.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "dagger": "†", "daggerdbl": "‡", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "germandbls": "ß", "ntilde": "ñ",
+    "oslash": "ø", "aring": "å", "ae": "æ",
+    "Euro": "€", "sterling": "£", "yen": "¥",
+    "cent": "¢", "section": "§", "paragraph": "¶",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+_CMAP_HEX = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """Parse a /ToUnicode CMap stream -> (code -> unicode map, code
+    byte length). Handles bfchar, bfrange (increment and array forms)
+    and codespacerange (reference capability:
+    pypdfium2_backend.py text extraction via FPDFText, which applies
+    the same embedded mapping inside pdfium)."""
+    mapping: dict[int, str] = {}
+    code_bytes = 2
+    for m in _CODESPACE_RE.finditer(data):
+        hexes = _CMAP_HEX.findall(m.group(1))
+        if hexes:
+            code_bytes = max(len(hexes[0]) // 2, 1)
+    for m in _BFCHAR_RE.finditer(data):
+        hexes = _CMAP_HEX.findall(m.group(1))
+        for i in range(0, len(hexes) - 1, 2):
+            mapping[int(hexes[i], 16)] = _utf16be(hexes[i + 1])
+    for m in _BFRANGE_RE.finditer(data):
+        body = m.group(1)
+        pos = 0
+        while True:
+            mm = _CMAP_HEX.search(body, pos)
+            if not mm:
+                break
+            lo_h = mm.group(1)
+            mm2 = _CMAP_HEX.search(body, mm.end())
+            if not mm2:
+                break
+            hi_h = mm2.group(1)
+            pos = mm2.end()
+            # third operand: <dst> or [ <d1> <d2> ... ]
+            nxt = body[pos:].lstrip()
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi - lo > 65535:  # damaged range: cap the expansion
+                hi = lo + 65535
+            if nxt.startswith(b"["):
+                arr_end = body.find(b"]", pos)
+                if arr_end == -1:
+                    break
+                dsts = _CMAP_HEX.findall(body[pos:arr_end])
+                for i, code in enumerate(range(lo, hi + 1)):
+                    if i < len(dsts):
+                        mapping[code] = _utf16be(dsts[i])
+                pos = arr_end + 1
+            else:
+                mm3 = _CMAP_HEX.search(body, pos)
+                if not mm3:
+                    break
+                base = _utf16be(mm3.group(1))
+                pos = mm3.end()
+                if base:
+                    base_cp = ord(base[-1])
+                    prefix = base[:-1]
+                    for i, code in enumerate(range(lo, hi + 1)):
+                        mapping[code] = prefix + chr(base_cp + i)
+    return mapping, code_bytes
+
+
+@dataclass
+class FontInfo:
+    """Decoded view of one /Font resource: how to turn show-string
+    bytes into unicode + advance widths (1/1000 em units)."""
+
+    code_bytes: int = 1  # 1 = simple font, 2 = Type0/Identity-H
+    to_unicode: dict[int, str] | None = None
+    diff_map: dict[int, str] | None = None  # simple-font /Differences
+    widths: dict[int, float] | None = None
+    default_width: float = 500.0
+
+    def decode(self, raw: bytes) -> list[tuple[int, str]]:
+        """bytes -> [(code, text)] — one entry per character code."""
+        out: list[tuple[int, str]] = []
+        if self.code_bytes == 2:
+            for i in range(0, len(raw) - 1, 2):
+                code = (raw[i] << 8) | raw[i + 1]
+                if self.to_unicode is not None and code in self.to_unicode:
+                    out.append((code, self.to_unicode[code]))
+                else:
+                    # no ToUnicode: CID is a glyph id — garbled output
+                    # by design, caught by the quality score downstream
+                    out.append((code, chr(code) if 32 <= code < 0xD800 else "�"))
+        else:
+            for code in raw:
+                if self.to_unicode is not None and code in self.to_unicode:
+                    out.append((code, self.to_unicode[code]))
+                elif self.diff_map is not None and code in self.diff_map:
+                    out.append((code, self.diff_map[code]))
+                else:
+                    out.append((code, bytes([code]).decode("latin-1")))
+        return out
+
+    def advance(self, codes: list[int]) -> float:
+        """Total advance in em units (x1000)."""
+        if self.widths is None:
+            return len(codes) * self.default_width
+        w = self.widths
+        dw = self.default_width
+        return sum(w.get(c, dw) for c in codes)
+
+
+def _parse_cid_widths(w_arr: list, resolve) -> dict[int, float]:
+    """CIDFont /W array: ``c [w1 w2 ...]`` or ``c1 c2 w`` runs."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w_arr)
+    while i < n:
+        first = resolve(w_arr[i])
+        if not isinstance(first, (int, float)):
+            i += 1
+            continue
+        if i + 1 < n:
+            second = resolve(w_arr[i + 1])
+            if isinstance(second, list):
+                for j, w in enumerate(second):
+                    w = resolve(w)
+                    if isinstance(w, (int, float)):
+                        out[int(first) + j] = float(w)
+                i += 2
+                continue
+            if i + 2 < n and isinstance(second, (int, float)):
+                w = resolve(w_arr[i + 2])
+                if isinstance(w, (int, float)):
+                    hi = min(int(second), int(first) + 65535)
+                    for c in range(int(first), hi + 1):
+                        out[c] = float(w)
+                i += 3
+                continue
+        i += 1
+    return out
 
 
 # ----------------------------------------------------- content interpreter
@@ -435,10 +844,18 @@ def _mat_mul(m1, m2):
     )
 
 
-def interpret_text(content: bytes, page_no: int, width: float, height: float) -> PdfPage:
+def interpret_text(
+    content: bytes,
+    page_no: int,
+    width: float,
+    height: float,
+    fonts: dict | None = None,
+) -> PdfPage:
     """Run the text-showing subset of the content stream, one TextCell
     per showing operator (pdfium's count_rects granularity before the
-    reference's merge pass)."""
+    reference's merge pass). ``fonts`` maps resource names to FontInfo;
+    show strings decode through the current font (Identity-H CIDs via
+    ToUnicode, /Differences for simple fonts) with real advance widths."""
     page = PdfPage(page_no, width, height)
     lex = _Lexer(content)
     stack: list = []
@@ -446,26 +863,35 @@ def interpret_text(content: bytes, page_no: int, width: float, height: float) ->
     font_size = 0.0
     leading = 0.0
     in_text = False
+    cur_font: FontInfo | None = None
     n = len(content)
 
     def show(raw) -> None:
         nonlocal tm
         if isinstance(raw, bytes):
-            text = raw.decode("latin-1")
+            if cur_font is not None:
+                decoded = cur_font.decode(raw)
+                text = "".join(t for _, t in decoded)
+                adv_em = cur_font.advance([c for c, _ in decoded]) / 1000.0
+            else:
+                text = raw.decode("latin-1")
+                adv_em = len(text) * _AVG_GLYPH_EM
         elif isinstance(raw, str):
             text = raw
+            adv_em = len(text) * _AVG_GLYPH_EM
         else:
             return
-        if not in_text or not text:
+        if not in_text:
             return
         a, b_, c, d, e, f = tm
         scale = abs(d) or 1.0
         eff_size = font_size * scale
-        adv = len(text) * _AVG_GLYPH_EM * font_size
+        adv = adv_em * font_size
         x1 = e + adv * (abs(a) or 1.0)
-        page.cells.append(
-            TextCell(text, e, f, x1, f + eff_size, eff_size)
-        )
+        if text:
+            page.cells.append(
+                TextCell(text, e, f, x1, f + eff_size, eff_size)
+            )
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 
     while lex.pos < n:
@@ -495,6 +921,8 @@ def interpret_text(content: bytes, page_no: int, width: float, height: float) ->
                 in_text = False
             elif op == b"Tf" and len(stack) >= 2:
                 font_size = float(stack[-1])
+                if fonts and isinstance(stack[-2], Name):
+                    cur_font = fonts.get(str(stack[-2]))
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
             elif op == b"Td" and len(stack) >= 2:
@@ -545,7 +973,8 @@ def parse_pdf(data: bytes, max_pages: int | None = None) -> list[PdfPage]:
         mb = [float(v) for v in pd["MediaBox"][:4]]
         w, h = mb[2] - mb[0], mb[3] - mb[1]
         content = doc.page_content(pd)
-        pages.append(interpret_text(content, i + 1, w, h))
+        fonts = doc.page_fonts(pd)
+        pages.append(interpret_text(content, i + 1, w, h, fonts=fonts))
     if not pages:
         raise PdfError("no pages")
     return pages
