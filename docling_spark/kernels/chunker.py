@@ -116,7 +116,7 @@ def hierarchical_chunks(doc: Doc) -> list[Chunk]:
                 )
         elif node.kind == PICTURE:
             pass
-        elif node.kind == TEXT and node.text:
+        elif node.kind in (TEXT, "paragraph") and node.text:
             chunks.append(
                 Chunk(text=node.text, headings=[t for _, t in level_stack])
             )

@@ -25,6 +25,7 @@ FURNITURE = "furniture"
 TITLE = "title"
 SECTION_HEADER = "section_header"
 TEXT = "text"
+PARAGRAPH = "paragraph"  # the reference's DocItemLabel.PARAGRAPH (USPTO)
 CODE = "code"
 CAPTION = "caption"
 LIST_ITEM = "list_item"

@@ -24,6 +24,7 @@ from .doc_model import (
     CODE,
     GROUP,
     LIST_ITEM,
+    PARAGRAPH,
     PICTURE,
     SECTION_HEADER,
     TABLE,
@@ -39,7 +40,7 @@ from .doc_model import (
 SCHEMA_NAME = "DoclingDocument"
 VERSION = "1.6.0"
 
-_TEXT_KINDS = {TITLE, SECTION_HEADER, TEXT, LIST_ITEM, CODE, CAPTION}
+_TEXT_KINDS = {TITLE, SECTION_HEADER, TEXT, PARAGRAPH, LIST_ITEM, CODE, CAPTION}
 
 
 def binary_hash(data: bytes) -> int:
@@ -281,7 +282,7 @@ def doc_from_dict(d: dict) -> Doc:
         "title": TITLE,
         "section_header": SECTION_HEADER,
         "text": TEXT,
-        "paragraph": TEXT,
+        "paragraph": PARAGRAPH,
         "caption": CAPTION,
         "code": CODE,
         "list_item": LIST_ITEM,

@@ -93,7 +93,7 @@ def export_to_doctags(
             if node.caption_id >= 0:
                 cap = doc.nodes[node.caption_id].text
             parts.append(f"<picture>{loc_for(node_id)}{cap}</picture>")
-        elif node.kind == TEXT and node.text:
+        elif node.kind in (TEXT, "paragraph") and node.text:
             parts.append(f"<text>{loc_for(node_id)}{node.text}</text>")
         for c in node.children:
             walk(c)

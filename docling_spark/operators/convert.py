@@ -89,6 +89,10 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
                 doc = parse_jats(payload, name=url)
             else:
                 doc = HtmlExtractor(original_url=url).convert(payload)
+        elif fmt == "xml_uspto":
+            from docling_spark.kernels.uspto_kernel import parse_uspto
+
+            doc = parse_uspto(payload, name=url)
         elif fmt == "pdf":
             doc, _scores = build_doc(parse_pdf(payload), name=url)
         elif fmt == "office":

@@ -28,12 +28,26 @@ _MAGICS = {
 }
 
 
+def _is_uspto(probe_lower: bytes) -> bool:
+    """USPTO doctype keys across the four DTD generations
+    (reference dispatch: uspto_backend.py:87-104)."""
+    return (
+        b"us-patent-application" in probe_lower
+        or b"us-patent-grant" in probe_lower
+        or b"us-grant-025" in probe_lower
+        or (b"patent-application-publication" in probe_lower and b"pap-v1" in probe_lower)
+        or b"uspto" in probe_lower
+    )
+
+
 def sniff_format(head: bytes) -> str:
     """Classify a byte prefix (first 8 KB) into an input format."""
     if not head:
         return "empty"
     if head.startswith(_PDF_MAGIC):
         return "pdf"
+    if head.startswith(b"PATN\n") or head.startswith(b"PATN\r\n"):
+        return "xml_uspto"  # APS key/value grants (1976-2001)
     for magic, fmt in _MAGICS.items():
         if head.startswith(magic):
             return fmt
@@ -47,10 +61,10 @@ def sniff_format(head: bytes) -> str:
         # (document.py:340-374)
         if b"JATS" in probe or b"NLM//DTD" in probe:
             return "xml_jats"
-        if b"us-patent" in probe.lower() or b"uspto" in probe.lower():
+        if _is_uspto(probe.lower()):
             return "xml_uspto"
     if ls.startswith(b"<?xml"):
-        if b"uspto" in probe.lower():
+        if _is_uspto(probe.lower()):
             return "xml_uspto"
         if b"jats" in probe.lower() or b"<article" in probe.lower():
             return "xml_jats"
@@ -60,7 +74,7 @@ def sniff_format(head: bytes) -> str:
     if _HTML_RE.search(probe):
         return "html"
     if _XML_RE.match(probe):
-        if b"uspto" in probe.lower():
+        if _is_uspto(probe.lower()):
             return "xml_uspto"
         if b"jats" in probe.lower() or b"<article" in probe.lower():
             return "xml_jats"
