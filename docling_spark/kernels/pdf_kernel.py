@@ -581,6 +581,22 @@ class PdfDocument:
                 pass
         return fi
 
+    def page_image_xobjects(self, page: dict) -> frozenset:
+        """Names of /Subtype /Image XObjects in the page resources —
+        `Do` on these marks a bitmap placement."""
+        res = self.resolve(page.get("Resources"))
+        if not isinstance(res, dict):
+            return frozenset()
+        xobjs = self.resolve(res.get("XObject"))
+        if not isinstance(xobjs, dict):
+            return frozenset()
+        names = set()
+        for name, ref in xobjs.items():
+            xd = self.resolve(ref)
+            if isinstance(xd, dict) and str(self.resolve(xd.get("Subtype"))) == "Image":
+                names.add(str(name))
+        return frozenset(names)
+
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
         refs = contents if isinstance(contents, list) else [contents]
@@ -810,6 +826,9 @@ class PdfPage:
     width: float
     height: float
     cells: list[TextCell] = field(default_factory=list)
+    # image-XObject placements, (l, b, r, t) BOTTOMLEFT like cells —
+    # the input to the P10 OCR decision (base_ocr_model.py:40-112)
+    bitmap_rects: list = field(default_factory=list)
 
     def cells_top_left(self) -> list[TextCell]:
         """Convert to TOPLEFT origin (docling's working coordinate)."""
@@ -850,6 +869,7 @@ def interpret_text(
     width: float,
     height: float,
     fonts: dict | None = None,
+    image_xobjects: frozenset | None = None,
 ) -> PdfPage:
     """Run the text-showing subset of the content stream, one TextCell
     per showing operator (pdfium's count_rects granularity before the
@@ -860,10 +880,13 @@ def interpret_text(
     lex = _Lexer(content)
     stack: list = []
     tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    gs_stack: list = []
     font_size = 0.0
     leading = 0.0
     in_text = False
     cur_font: FontInfo | None = None
+    image_xobjects = image_xobjects or frozenset()
     n = len(content)
 
     def show(raw) -> None:
@@ -914,7 +937,23 @@ def interpret_text(
         op = m.group()
         lex.pos = m.end()
         try:
-            if op == b"BT":
+            if op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
+            elif op == b"Do" and stack and isinstance(stack[-1], Name):
+                if str(stack[-1]) in image_xobjects:
+                    # unit square under the CTM -> bitmap placement bbox
+                    a, b_, c, d, e, f = ctm
+                    xs = (e, a + e, c + e, a + c + e)
+                    ys = (f, b_ + f, d + f, b_ + d + f)
+                    page.bitmap_rects.append(
+                        (min(xs), min(ys), max(xs), max(ys))
+                    )
+            elif op == b"BT":
                 in_text = True
                 tm = tlm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
             elif op == b"ET":
@@ -974,7 +1013,59 @@ def parse_pdf(data: bytes, max_pages: int | None = None) -> list[PdfPage]:
         w, h = mb[2] - mb[0], mb[3] - mb[1]
         content = doc.page_content(pd)
         fonts = doc.page_fonts(pd)
-        pages.append(interpret_text(content, i + 1, w, h, fonts=fonts))
+        pages.append(
+            interpret_text(
+                content, i + 1, w, h,
+                fonts=fonts,
+                image_xobjects=doc.page_image_xobjects(pd),
+            )
+        )
     if not pages:
         raise PdfError("no pages")
     return pages
+
+
+# ----------------------------------------------------- P10: OCR decision
+
+BITMAP_COVERAGE_THRESHOLD = 0.75  # base_ocr_model.py:44
+BITMAP_AREA_THRESHOLD = 0.05  # pipeline_options.py:79 (OcrOptions default)
+
+
+def bitmap_coverage(page: PdfPage) -> float:
+    """Fraction of the page area covered by the union of bitmap rects
+    (exact rectangle-union via coordinate compression — the reference
+    rasterizes to a binary mask, base_ocr_model.py:48-86; same quantity
+    without the 10 px dilation)."""
+    if not page.bitmap_rects or page.width <= 0 or page.height <= 0:
+        return 0.0
+    rects = [
+        (max(l, 0.0), max(b, 0.0), min(r, page.width), min(t, page.height))
+        for l, b, r, t in page.bitmap_rects
+    ]
+    rects = [rc for rc in rects if rc[2] > rc[0] and rc[3] > rc[1]]
+    if not rects:
+        return 0.0
+    xs = sorted({v for rc in rects for v in (rc[0], rc[2])})
+    ys = sorted({v for rc in rects for v in (rc[1], rc[3])})
+    area = 0.0
+    for i in range(len(xs) - 1):
+        for j in range(len(ys) - 1):
+            cx = (xs[i] + xs[i + 1]) / 2
+            cy = (ys[j] + ys[j + 1]) / 2
+            if any(l <= cx <= r and b <= cy <= t for l, b, r, t in rects):
+                area += (xs[i + 1] - xs[i]) * (ys[j + 1] - ys[j])
+    return min(area / (page.width * page.height), 1.0)
+
+
+def ocr_decision(page: PdfPage) -> tuple[float, str]:
+    """(coverage, decision) per the reference's get_ocr_rects gate
+    (base_ocr_model.py:95-112): dominant bitmap coverage -> full-page
+    OCR; above the area threshold -> per-rect OCR; else none. No OCR
+    engine runs in this sandbox — the *decision* is the P10 component;
+    engines (P11) remain out of scope."""
+    coverage = bitmap_coverage(page)
+    if coverage > BITMAP_COVERAGE_THRESHOLD:
+        return coverage, "full_page"
+    if coverage > BITMAP_AREA_THRESHOLD:
+        return coverage, "rects"
+    return coverage, "none"

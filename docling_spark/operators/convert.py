@@ -43,6 +43,7 @@ CONVERT_SCHEMA = StructType(
         StructField("n_chunks", IntegerType()),
         StructField("doctags", StringType()),
         StructField("bytes_in", LongType()),
+        StructField("ocr_needed", DoubleType()),
         StructField("t_sec", DoubleType()),
     ]
 )
@@ -75,6 +76,7 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
         "bytes_in": len(payload),
         "n_chunks": 0,
         "doctags": None,
+        "ocr_needed": None,
     }
     try:
         if sys.getrecursionlimit() < _KERNEL_RECURSION_LIMIT:
@@ -93,8 +95,45 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
             from docling_spark.kernels.uspto_kernel import parse_uspto
 
             doc = parse_uspto(payload, name=url)
+        elif fmt == "gzip":
+            # gzip container: METS/GBS book archives route through the
+            # shared PDF layout path; other gzips stay skipped
+            from docling_spark.kernels.mets_kernel import MetsError, parse_mets_gbs
+
+            try:
+                from docling_spark.kernels.pdf_kernel import bitmap_coverage
+
+                base["fmt"] = "mets_gbs"
+                pages = parse_mets_gbs(payload)
+                doc, _scores = build_doc(pages, name=url)
+                base["ocr_needed"] = max(bitmap_coverage(p) for p in pages)
+            except MetsError as me:
+                return {
+                    **base,
+                    "fmt": "gzip",
+                    "status": "skipped",
+                    "error": f"gzip is not a METS/GBS archive: {me}",
+                    "md": None,
+                    "txt": None,
+                    "n_nodes": 0,
+                    "t_sec": time.perf_counter() - t0,
+                }
         elif fmt == "pdf":
-            doc, _scores = build_doc(parse_pdf(payload), name=url)
+            from docling_spark.kernels.pdf_kernel import bitmap_coverage
+
+            pages = parse_pdf(payload)
+            doc, _scores = build_doc(pages, name=url)
+            base["ocr_needed"] = max(bitmap_coverage(p) for p in pages)
+        elif fmt == "image":
+            # P7: image adapts into the PDF path (frames -> pages with a
+            # full-page bitmap rect); P10 scores the OCR need. No OCR
+            # engine exists here, so the text layer is empty by design.
+            from docling_spark.kernels.image_kernel import image_to_pdf_pages
+            from docling_spark.kernels.pdf_kernel import bitmap_coverage
+
+            pages = image_to_pdf_pages(payload)
+            doc, _scores = build_doc(pages, name=url)
+            base["ocr_needed"] = max(bitmap_coverage(p) for p in pages)
         elif fmt == "office":
             sub = office_subformat(payload)
             base["fmt"] = sub

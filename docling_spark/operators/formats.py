@@ -23,6 +23,8 @@ _MAGICS = {
     b"\x89PNG": "image",
     b"\xff\xd8\xff": "image",
     b"GIF8": "image",
+    b"II*\x00": "image",  # TIFF little-endian
+    b"MM\x00*": "image",  # TIFF big-endian
     b"PK\x03\x04": "office",  # docx/xlsx/pptx zip container
     b"\x1f\x8b": "gzip",
 }
@@ -48,6 +50,8 @@ def sniff_format(head: bytes) -> str:
         return "pdf"
     if head.startswith(b"PATN\n") or head.startswith(b"PATN\r\n"):
         return "xml_uspto"  # APS key/value grants (1976-2001)
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "image"
     for magic, fmt in _MAGICS.items():
         if head.startswith(magic):
             return fmt

@@ -118,8 +118,11 @@ def test_convert_one_routes_by_magic():
     md_r = convert_one("u", b"just a plain paragraph without markup")
     assert (md_r["fmt"], md_r["status"]) == ("text", "success")
 
-    img = convert_one("u", b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
-    assert (img["fmt"], img["status"]) == ("image", "skipped")
+    # P7: images adapt into the PDF path -> success with an OCR score
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + (64).to_bytes(4, "big") + (48).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    img = convert_one("u", png)
+    assert (img["fmt"], img["status"]) == ("image", "success")
+    assert img["ocr_needed"] == 1.0
 
     broken_pdf = convert_one("u", b"%PDF-1.4 garbage")
     assert (broken_pdf["fmt"], broken_pdf["status"]) == ("pdf", "failure")

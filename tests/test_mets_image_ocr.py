@@ -1,0 +1,152 @@
+"""METS/GBS backend (B9), image->PDF adaptation (P7), and the
+bitmap-coverage OCR decision (P10)."""
+
+from pathlib import Path
+
+import pytest
+
+from docling_spark.kernels.image_kernel import (
+    ImageError,
+    image_frames,
+    image_to_pdf_pages,
+)
+from docling_spark.kernels.mets_kernel import MetsError, MetsGbsDoc, parse_mets_gbs
+from docling_spark.kernels.pdf_kernel import PdfPage, bitmap_coverage, ocr_decision
+from docling_spark.operators.convert import convert_one
+
+METS_FIXTURE = Path("/root/reference/tests/data/mets_gbs/32044009881525_select.tar.gz")
+WEBP_FIXTURE = Path("/root/reference/tests/data/webp/webp-test.webp")
+TIFF_FIXTURE = Path("/root/reference/tests/data/tiff/2206.01062.tif")
+
+
+# ------------------------------------------------------------- METS/GBS
+
+
+def test_mets_page_count_and_validity():
+    # reference pins 3 pages (test_backend_mets_gbs.py test_num_pages)
+    doc = MetsGbsDoc(METS_FIXTURE.read_bytes())
+    assert doc.page_count() == 3
+
+
+def test_mets_text_in_rect_reference_pinned():
+    # reference: bbox (275,263,1388,311) on page 0 ->
+    # "recently become prevalent that he who speaks"
+    doc = MetsGbsDoc(METS_FIXTURE.read_bytes())
+    p0 = doc.load_page(0)
+    assert (
+        p0.text_in_rect(275, 263, 1388, 311).strip()
+        == "recently become prevalent that he who speaks"
+    )
+
+
+def test_mets_lines_match_plaintext_ocr_member():
+    """Structure parity: hOCR line text must reproduce the archive's own
+    plain-text OCR member (modulo whitespace)."""
+    doc = MetsGbsDoc(METS_FIXTURE.read_bytes())
+    p0 = doc.load_page(0)
+    hocr_text = " ".join(c.text for c in p0.line_cells if c.text).split()
+    txt = doc._read("00000010.txt").decode("utf-8").split()
+    assert hocr_text == txt
+
+
+def test_mets_feeds_pdf_path():
+    pages = parse_mets_gbs(METS_FIXTURE.read_bytes())
+    assert len(pages) == 3
+    assert all(p.cells for p in pages)
+    # hOCR cells carry OCR confidence through the shared geometry
+    assert pages[0].width == 1582 and pages[0].height == 2495
+
+
+def test_mets_router():
+    r = convert_one("u", METS_FIXTURE.read_bytes())
+    assert (r["fmt"], r["status"]) == ("mets_gbs", "success")
+    assert "recently become prevalent" in r["md"]
+    import gzip
+
+    r2 = convert_one("u", gzip.compress(b"not a book archive"))
+    assert (r2["fmt"], r2["status"]) == ("gzip", "skipped")
+
+
+def test_mets_garbage():
+    with pytest.raises(MetsError):
+        MetsGbsDoc(b"not even gzip")
+
+
+# ----------------------------------------------------------- image -> PDF
+
+
+def test_webp_single_frame():
+    frames = image_frames(WEBP_FIXTURE.read_bytes())
+    assert frames == [(2000, 2829)]
+
+
+def test_tiff_multipage_frames():
+    frames = image_frames(TIFF_FIXTURE.read_bytes())
+    assert len(frames) == 2
+    assert all(f == (612, 792) for f in frames)
+
+
+def test_image_router_success_with_ocr_score():
+    # the P7 done-criterion: webp/tiff produce success rows with an
+    # ocr_needed score, not 'skipped'
+    for fx in (WEBP_FIXTURE, TIFF_FIXTURE):
+        r = convert_one("u", fx.read_bytes())
+        assert (r["fmt"], r["status"]) == ("image", "success"), fx.name
+        assert r["ocr_needed"] == 1.0
+
+
+def test_image_garbage():
+    with pytest.raises(ImageError):
+        image_frames(b"RIFF\x00\x00\x00\x00NOPE")
+
+
+# ----------------------------------------------------------- P10 decision
+
+
+def test_ocr_decision_thresholds():
+    page = PdfPage(1, 100.0, 100.0)
+    assert ocr_decision(page) == (0.0, "none")
+    page.bitmap_rects.append((0, 0, 30, 30))  # 9% coverage
+    cov, dec = ocr_decision(page)
+    assert dec == "rects" and abs(cov - 0.09) < 1e-9
+    page.bitmap_rects.append((0, 0, 95, 95))  # dominant coverage
+    cov, dec = ocr_decision(page)
+    assert dec == "full_page" and cov > 0.9
+
+
+def test_bitmap_coverage_union_not_sum():
+    page = PdfPage(1, 100.0, 100.0)
+    # two identical rects: union is 25%, a naive sum would say 50%
+    page.bitmap_rects.append((0, 0, 50, 50))
+    page.bitmap_rects.append((0, 0, 50, 50))
+    assert abs(bitmap_coverage(page) - 0.25) < 1e-9
+
+
+def test_scanned_pdf_bitmap_rect_from_content_stream():
+    """A PDF placing an image XObject via cm+Do must yield a bitmap rect
+    at the transformed position."""
+    import zlib
+
+    content = b"q 200 0 0 100 50 600 cm /Im0 Do Q BT /F1 10 Tf 72 50 Td (caption) Tj ET"
+    comp = zlib.compress(content)
+    stream_obj = (
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(comp), comp)
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n"
+        + stream_obj
+        + b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 10 /Height 10 /Length 0 >>\nstream\n\nendstream\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n"
+    )
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+
+    pages = parse_pdf(pdf)
+    assert pages[0].bitmap_rects == [(50.0, 600.0, 250.0, 700.0)]
+    assert pages[0].cells[0].text == "caption"
+    cov, dec = ocr_decision(pages[0])
+    assert dec == "none"  # small image, text present
