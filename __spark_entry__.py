@@ -162,6 +162,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("producer", "status")
         )
 
+    def x_multimodal_pages(spark, sf_dir):
+        """S8: per-page (text, md, doctags, cells, segments) training
+        tuples (utils/export.py:13-146 semantics)."""
+        from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+        pdfs = synthesize_pdf_pages(spark, sf_dir, n_docs=100, mixed_producers=True)
+        mm = extract_pdf.multimodal_pages(pdfs, num_partitions=16)
+        return (
+            mm.select(
+                "url",
+                "page_no",
+                F.size("cells").alias("n_cells"),
+                F.size("segments").alias("n_segments"),
+                F.length("md").alias("md_len"),
+                F.length("text").alias("text_len"),
+            )
+            .orderBy("url", "page_no")
+        )
+
     def x_pdf_confidence(spark, sf_dir):
         from docling_spark.sources.pdfgen import synthesize_pdf_pages
 
@@ -391,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_media_rollup": x_media_rollup,
         "x_pdf_extract": x_pdf_extract,
         "x_pdf_real": x_pdf_real,
+        "x_multimodal_pages": x_multimodal_pages,
         "x_pdf_confidence": x_pdf_confidence,
         "x_chunks": x_chunks,
         "x_convert_mixed": x_convert_mixed,

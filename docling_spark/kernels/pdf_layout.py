@@ -247,7 +247,9 @@ def page_blocks(page: PdfPage) -> list[Block]:
         cur.append(ln)
         prev_idx = i
     flush()
-    return blocks
+    # P14: collapse duplicate/contained blocks (no-op for the disjoint
+    # vertical clusters above; load-bearing once model clusters exist)
+    return resolve_overlapping_blocks(blocks)
 
 
 def classify_blocks(blocks: list[Block]) -> None:
@@ -313,3 +315,158 @@ def build_doc(pages: list[PdfPage], name: str = "doc") -> tuple[Doc, list[float]
 class PdfResult:
     doc: Doc
     page_scores: list[float] = field(default_factory=list)
+
+
+# ------------------------------------- P14: overlap resolution (UnionFind)
+
+
+class UnionFind:
+    """Union-find with path compression + union by rank
+    (layout_postprocessor.py:17-47)."""
+
+    def __init__(self, elements):
+        self.parent = {e: e for e in elements}
+        self.rank = dict.fromkeys(elements, 0)
+
+    def find(self, x):
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression, iterative
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, x, y):
+        rx, ry = self.find(x), self.find(y)
+        if rx == ry:
+            return
+        if self.rank[rx] > self.rank[ry]:
+            self.parent[ry] = rx
+        elif self.rank[rx] < self.rank[ry]:
+            self.parent[rx] = ry
+        else:
+            self.parent[ry] = rx
+            self.rank[rx] += 1
+
+    def groups(self) -> dict:
+        out: dict = {}
+        for e in self.parent:
+            out.setdefault(self.find(e), []).append(e)
+        return out
+
+
+def _block_area(b: Block) -> float:
+    return max(b.r - b.l, 0.0) * max(b.b - b.t, 0.0)
+
+
+def _intersection(a: Block, b: Block) -> float:
+    w = min(a.r, b.r) - max(a.l, b.l)
+    h = min(a.b, b.b) - max(a.t, b.t)
+    return w * h if w > 0 and h > 0 else 0.0
+
+
+def blocks_overlap(
+    a: Block,
+    b: Block,
+    overlap_threshold: float = 0.8,
+    containment_threshold: float = 0.8,
+) -> bool:
+    """IoU above threshold OR either box mostly contained in the other
+    (layout_postprocessor.py:86-106 check_overlap)."""
+    area_a, area_b = _block_area(a), _block_area(b)
+    if area_a <= 0 or area_b <= 0:
+        return False
+    inter = _intersection(a, b)
+    iou = inter / (area_a + area_b - inter)
+    return (
+        iou > overlap_threshold
+        or inter / area_a > containment_threshold
+        or inter / area_b > containment_threshold
+    )
+
+
+def resolve_overlapping_blocks(
+    blocks: list[Block],
+    overlap_threshold: float = 0.8,
+    containment_threshold: float = 0.8,
+    area_threshold: float = 1.3,
+    conf_threshold: float = 0.05,
+) -> list[Block]:
+    """Merge duplicate/contained blocks: candidate pairs from a sorted
+    x-interval sweep, grouping via UnionFind, one survivor per group —
+    the larger block unless its confidence (parse_score) trails by more
+    than ``conf_threshold`` (layout_postprocessor.py:488-543 +
+    _select_best_cluster_from_group, 'regular' OVERLAP_PARAMS). The
+    survivor absorbs the losers' text in reading order and grows to the
+    union bbox. Defaults match the reference's 'regular' class; a
+    future layout model plugs its clusters straight in."""
+    if len(blocks) < 2:
+        return list(blocks)
+
+    ids = list(range(len(blocks)))
+    uf = UnionFind(ids)
+    # sweep on x-intervals: only pairs whose [l, r] overlap are candidates
+    order = sorted(ids, key=lambda i: blocks[i].l)
+    active: list[int] = []
+    for i in order:
+        bi = blocks[i]
+        active = [j for j in active if blocks[j].r > bi.l]
+        for j in active:
+            if blocks[j].page_no == bi.page_no and blocks_overlap(
+                bi, blocks[j], overlap_threshold, containment_threshold
+            ):
+                uf.union(i, j)
+        active.append(i)
+
+    out: list[Block] = []
+    for group in uf.groups().values():
+        if len(group) == 1:
+            out.append(blocks[group[0]])
+            continue
+        members = sorted(group)  # reading order = creation order
+        best = None
+        for cand in members:
+            bc = blocks[cand]
+            ok = True
+            for other in members:
+                if other == cand:
+                    continue
+                bo = blocks[other]
+                area_ratio = _block_area(bc) / max(_block_area(bo), 1e-9)
+                conf_diff = bo.parse_score - bc.parse_score
+                if area_ratio <= area_threshold and conf_diff > conf_threshold:
+                    ok = False
+                    break
+            if ok and (
+                best is None
+                or (
+                    _block_area(bc) > _block_area(blocks[best])
+                    and blocks[best].parse_score - bc.parse_score <= conf_threshold
+                )
+            ):
+                best = cand
+        if best is None:
+            best = members[0]
+        bb = blocks[best]
+        texts, seen = [], set()
+        for m in members:
+            t = blocks[m].text
+            if t and t not in seen:
+                seen.add(t)
+                if m == best or t not in bb.text:
+                    texts.append(t)
+        merged = Block(
+            kind=bb.kind,
+            text=" ".join(texts) if len(texts) > 1 else bb.text,
+            level=bb.level,
+            page_no=bb.page_no,
+            l=min(blocks[m].l for m in members),
+            t=min(blocks[m].t for m in members),
+            r=max(blocks[m].r for m in members),
+            b=max(blocks[m].b for m in members),
+            size=bb.size,
+            parse_score=bb.parse_score,
+        )
+        out.append(merged)
+    out.sort(key=lambda b: (b.page_no, b.t, b.l))
+    return out

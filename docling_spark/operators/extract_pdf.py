@@ -333,3 +333,152 @@ def confidence_rollup(page_rows: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- S8: multimodal pages
+
+MULTIMODAL_PAGE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("width", DoubleType()),
+        StructField("height", DoubleType()),
+        StructField("text", StringType()),
+        StructField("md", StringType()),
+        StructField("doctags", StringType()),
+        StructField(
+            "cells",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("text", StringType()),
+                        StructField("l", DoubleType()),
+                        StructField("t", DoubleType()),
+                        StructField("r", DoubleType()),
+                        StructField("b", DoubleType()),
+                        StructField("ocr", StringType()),
+                        StructField("ocr_confidence", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+        StructField(
+            "segments",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("index_in_doc", IntegerType()),
+                        StructField("label", StringType()),
+                        StructField("text", StringType()),
+                        StructField("l", DoubleType()),
+                        StructField("t", DoubleType()),
+                        StructField("r", DoubleType()),
+                        StructField("b", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _multimodal_rows_for_doc(url: str, content: bytes) -> list[dict]:
+    """Per-page (text, md, doctags, cells, segments) tuples — S8,
+    reference utils/export.py:13-146 generate_multimodal_pages: cells
+    and segment bboxes TOPLEFT-normalized to [0,1], per-page markdown
+    from that page's slice of the document items, content_text =
+    space-joined item texts."""
+    from docling_spark.kernels.doctags import export_to_doctags
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+    from docling_spark.kernels.pdf_layout import (
+        assemble_doc,
+        classify_blocks,
+        page_blocks,
+    )
+
+    pages = parse_pdf(content or b"")
+    all_blocks = []
+    for page in sorted(pages, key=lambda p: p.page_no):
+        all_blocks.extend(page_blocks(page))
+    classify_blocks(all_blocks)  # doc-wide: heading ranks need all pages
+
+    rows = []
+    for page in sorted(pages, key=lambda p: p.page_no):
+        w, h = page.width or 1.0, page.height or 1.0
+        page_items = [
+            (ix, b) for ix, b in enumerate(all_blocks) if b.page_no == page.page_no
+        ]
+        # per-page doc slice -> md/doctags (export.py main_text_start/stop)
+        page_doc = assemble_doc([b for _, b in page_items], name=url)
+        segments = [
+            {
+                "index_in_doc": ix,
+                "label": b.kind,
+                "text": b.text,
+                "l": b.l / w,
+                "t": b.t / h,
+                "r": b.r / w,
+                "b": b.b / h,
+            }
+            for ix, b in page_items
+        ]
+        cells = [
+            {
+                "text": c.text,
+                "l": c.l / w,
+                "t": c.t / h,
+                "r": c.r / w,
+                "b": c.b / h,
+                "ocr": "false",
+                "ocr_confidence": 1.0,
+            }
+            for c in page.cells_top_left()
+        ]
+        rows.append(
+            {
+                "url": url,
+                "page_no": page.page_no,
+                "width": w,
+                "height": h,
+                "text": " ".join(b.text for _, b in page_items if b.text),
+                "md": to_markdown(page_doc),
+                "doctags": export_to_doctags(page_doc),
+                "cells": cells,
+                "segments": segments,
+            }
+        )
+    return rows
+
+
+def multimodal_pages(
+    df: DataFrame, content_col: str = "content", num_partitions: int | None = None
+) -> DataFrame:
+    """(url, content) PDF corpus -> one multimodal training row per
+    page. Same single-exchange shape as extract_pdf_docs."""
+    import pandas as pd
+
+    sel = df.select("url", content_col)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    sel = sel.repartition(num_partitions, F.xxhash64("url"))
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, content in zip(pdf["url"], pdf[content_col]):
+                try:
+                    rows.extend(
+                        _multimodal_rows_for_doc(
+                            url, bytes(content) if content is not None else b""
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — undecodable -> no rows
+                    continue
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MULTIMODAL_PAGE_SCHEMA.fields]
+            )
+
+    return sel.mapInPandas(run, MULTIMODAL_PAGE_SCHEMA)

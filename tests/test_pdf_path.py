@@ -154,3 +154,81 @@ def test_spark_failure_rows_not_exceptions(spark):
     res = extract_pdf_docs(bad, num_partitions=2).collect()
     assert {r.status for r in res} == {"failure"}
     assert all(r.error for r in res)
+
+
+def test_multimodal_pages_kernel():
+    """S8 per-page tuples: page-local text/md, normalized bboxes,
+    cells + segments counts consistent with the doc path."""
+    from docling_spark.operators.extract_pdf import _multimodal_rows_for_doc
+
+    pdf = render_doc_pdf(7, TEXT)  # doc_id 7 -> 2 pages
+    rows = _multimodal_rows_for_doc("u", pdf)
+    _, expected = doc_spec(7, TEXT)
+    assert len(rows) == expected["n_pages"] == 2
+    for i, r in enumerate(rows):
+        assert r["page_no"] == i + 1
+        assert r["cells"] and r["segments"]
+        # normalized TOPLEFT coords in [0, 1]
+        for c in r["cells"] + r["segments"]:
+            assert 0.0 <= c["l"] <= c["r"] <= 1.0
+            assert 0.0 <= c["t"] <= c["b"] <= 1.0
+        assert r["md"].strip() and r["text"].strip()
+    # title appears on page 1's markdown only
+    assert rows[0]["md"].startswith("# ")
+    assert not rows[1]["md"].startswith("# ")
+    # segment indexes are doc-global and strictly increasing across pages
+    idxs = [s["index_in_doc"] for r in rows for s in r["segments"]]
+    assert idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+
+
+def test_multimodal_pages_spark(spark, pdf_corpus):
+    from docling_spark.operators.extract_pdf import multimodal_pages
+
+    mm = multimodal_pages(pdf_corpus, num_partitions=8)
+    rows = mm.count()
+    docs = mm.select("url").distinct().count()
+    assert rows >= docs > 0
+
+
+def test_overlap_resolution_unionfind():
+    """P14: duplicate and contained blocks collapse to one survivor,
+    multi-column layouts stay ordered (layout_postprocessor.py:488-543
+    semantics on the rule-classified blocks)."""
+    from docling_spark.kernels.pdf_layout import (
+        Block,
+        blocks_overlap,
+        resolve_overlapping_blocks,
+    )
+
+    def blk(text, l, t, r, b, score=1.0, page=1):
+        return Block("text", text, 0, page, l, t, r, b, 10.0, score)
+
+    # near-duplicate boxes -> one block, larger survives
+    dup = [blk("body text", 10, 10, 200, 40), blk("body text", 11, 11, 199, 39)]
+    out = resolve_overlapping_blocks(dup)
+    assert len(out) == 1 and out[0].text == "body text"
+
+    # contained low-confidence fragment merges into its container
+    cont = [blk("full paragraph here", 10, 10, 300, 80),
+            blk("fragment", 20, 20, 120, 40, score=0.5)]
+    out = resolve_overlapping_blocks(cont)
+    assert len(out) == 1
+    assert "full paragraph here" in out[0].text and "fragment" in out[0].text
+
+    # confidence wins over area when the gap is significant: the clean
+    # block's identity (score) survives; texts merge like cell-merging
+    conf = [blk("garbled", 10, 10, 300, 80, score=0.2),
+            blk("clean", 15, 15, 280, 75, score=0.95)]
+    out = resolve_overlapping_blocks(conf)
+    assert len(out) == 1 and out[0].parse_score == 0.95
+    assert "clean" in out[0].text
+
+    # disjoint two-column blocks untouched, reading order stable
+    cols = [blk("left top", 10, 10, 280, 40), blk("right top", 320, 10, 600, 40),
+            blk("left bottom", 10, 60, 280, 90)]
+    out = resolve_overlapping_blocks(cols)
+    assert [b.text for b in out] == ["left top", "right top", "left bottom"]
+
+    # overlap predicate sanity
+    assert blocks_overlap(dup[0], dup[1])
+    assert not blocks_overlap(cols[0], cols[1])
