@@ -68,24 +68,32 @@ def run(spark, args) -> dict:
     else:
         pages = spark.read.parquet(args.input)
 
-    # limits gate first (reference: DocumentLimits, datamodel/document.py:116-181)
+    # resume BEFORE the gate: lineage marks both 'success' and 'skipped'
+    # urls terminal, so a resumed attempt neither re-extracts nor
+    # re-gates (and never re-appends duplicate skip rows to lineage)
+    if args.resume:
+        pages = resume_filter(pages, spark, args.lineage)
+
+    # limits gate (reference: DocumentLimits, datamodel/document.py:116-181)
     gated = limits_gate(pages, max_bytes=args.limit_bytes)
     skipped = gated.filter(F.col("gate_status") == "skipped")
     pages_ok = gated.filter(F.col("gate_status") == "accepted").drop("gate_status")
-
-    if args.resume:
-        pages_ok = resume_filter(pages_ok, spark, args.lineage)
 
     t0 = time.perf_counter()
     results = extract_pages(pages_ok, num_partitions=args.partitions)
 
     # one materialization, three outputs: results, lineage, metrics.
-    # persist() avoids re-running the extraction kernel per sink.
+    # persist() avoids re-running the extraction kernel per sink. The
+    # WRITE is the first action: under MEMORY_AND_DISK pressure at
+    # 10^12 scale a leading count() would evict blocks whose first
+    # materialization was then discarded; writing first makes the
+    # expensive pass also the durable one, and the counts after it read
+    # from cache (or, worst case, recompute — never the reverse).
     results.persist()
+    results.write.mode("append").parquet(args.output)
     n_out = results.count()
     t_extract = time.perf_counter() - t0
 
-    results.write.mode("append").parquet(args.output)
     write_lineage(results, args.lineage, attempt=args.attempt)
     if args.metrics:
         metrics_table(results).write.mode("append").parquet(args.metrics)
