@@ -121,21 +121,55 @@ def hyperplane_lsh_bands(
 
 
 def lsh_topk(
-    df: DataFrame, query_ids: list[int], k: int = 10, n_bits: int = 8, seed: int = 42
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's bucket."""
-    b = hyperplane_lsh_buckets(df, n_bits=n_bits, seed=seed)
-    q = b.filter(F.col("vec_id").isin(query_ids)).select(
+    """Approximate top-k via banded multi-table LSH with multi-probe.
+
+    A single 8-bit bucket probe has near-zero recall for moderate-angle
+    neighbors (p_match = p_bit^8 ~ 0.04 at 60 deg — measured recall 0.0
+    on the synthetic corpus), so this amplifies two ways, both standard:
+
+    * **OR across ``n_tables`` independent tables** (one row per
+      (vector, table) from :func:`hyperplane_lsh_bands`);
+    * **multi-probe**: each query also probes every bucket within
+      Hamming distance ``probe_hamming`` of its own signature (the
+      neighboring buckets a near-miss bit flip would land in).
+
+    Scale shape: the corpus is hashed ONCE (n_tables rows per vector,
+    hash-partitioned by bucket); queries explode to
+    n_tables x (1 + n_bits) probe rows, broadcast, and equi-join on
+    (band_id, band_val) — candidate exact-cosine verification touches
+    only probed buckets, never the corpus at large.
+    """
+    bands = hyperplane_lsh_bands(
+        df, n_bands=n_tables, bits_per_band=n_bits, seed=seed
+    )
+    q0 = bands.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        F.col("bucket").alias("qbucket"),
+        "band_id",
+        F.col("band_val").alias("qval"),
+    )
+    if probe_hamming >= 1:
+        flips = f"transform(sequence(0, {n_bits - 1}), b -> qval ^ shiftleft(1L, cast(b as int)))"
+        probes = F.expr(f"array_union(array(qval), {flips})")
+    else:
+        probes = F.array(F.col("qval"))
+    q = q0.select(
+        "query_id", "qv", "qnorm", "band_id", F.explode(probes).alias("band_val")
     )
     scored = (
-        b.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
-        )
+        bands.join(F.broadcast(q), ["band_id", "band_val"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "qv", "qnorm", "v", "norm")
+        .dropDuplicates(["query_id", "vec_id"])  # OR over tables+probes
         .withColumn(
             "cos",
             F.expr(_DOT.format(a="v", b="qv")) / (F.col("norm") * F.col("qnorm")),

@@ -168,3 +168,42 @@ def test_md_golden_byte_identical(name):
     raw = (_pl.Path("/root/reference/tests/data/md") / name).read_bytes()
     doc = parse_markdown(raw, name=name.rsplit(".", 1)[0])
     assert to_markdown(doc) + "\n" == (_GT / f"{name}.md").read_text()
+
+
+def test_convert_one_never_raises_on_mutated_crawl_bytes():
+    """Crawl-robustness: deterministic byte mutations of every format's
+    fixture (truncation, bit flips, splices) must always yield a row —
+    errors-as-data, never an exception."""
+    from pathlib import Path
+
+    seeds = [
+        Path("/root/reference/tests/data/html/example_03.html").read_bytes(),
+        Path("/root/reference/tests/data/uspto/ipa20200022300.xml").read_bytes(),
+        Path("/root/reference/tests/data/webp/webp-test.webp").read_bytes(),
+        Path("/root/reference/tests/data/mets_gbs/32044009881525_select.tar.gz").read_bytes(),
+        b"a,b,c\n1,2,3\n4,5,6\n",
+        b"= Title\n\nSome text\n",
+    ]
+    from docling_spark.sources.pdfgen import render_doc_pdf, render_doc_pdf_modern
+
+    seeds.append(render_doc_pdf(3, "fuzz seed text " * 30))
+    seeds.append(render_doc_pdf_modern(4, "fuzz seed text " * 30))
+
+    def mutations(data: bytes):
+        yield data[: len(data) // 2]           # truncate
+        yield data[len(data) // 3 :]           # drop header
+        b = bytearray(data)
+        for i in range(0, len(b), max(len(b) // 50, 1)):
+            b[i] ^= 0xFF                       # periodic bit flips
+        yield bytes(b)
+        yield data + data[: len(data) // 4]    # splice/duplicate
+        yield b"\x00" * 64 + data              # leading garbage
+
+    n_rows = 0
+    for seed in seeds:
+        for mut in mutations(seed):
+            row = convert_one("https://fuzz.example.com/x", mut)
+            assert row["status"] in ("success", "failure", "skipped")
+            assert row["url"] and row["bytes_in"] == len(mut)
+            n_rows += 1
+    assert n_rows == len(seeds) * 5

@@ -81,3 +81,34 @@ def test_resume_filter(spark, tmp_path):
         r.url for r in res2.select("url").collect()
     }
     assert len(urls) == total
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """Single-probe hyperplane-LSH top-k recall against the exact
+    answer: with 8-bit buckets on the synthetic embeddings the probe
+    must recover a meaningful fraction of the true top-10 (recall
+    varies by bucket occupancy; the floor pins the plumbing — a wrong
+    bucket join would score ~0)."""
+    from docling_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = similarity.brute_force_topk(emb, qids, k=10).collect()
+    approx = similarity.lsh_topk(emb, qids, k=10, n_bits=6, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r.neighbor_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    recall = hits / (10 * len(qids))
+    assert recall >= 0.6, f"recall collapsed: {recall}"
+    # every approximate neighbor must carry the true cosine (verified
+    # candidates, not hashed guesses)
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cos_sim - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-6
