@@ -325,6 +325,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("c_mktsegment", "rnk")
         )
 
+    def q_event_windows(spark, sf_dir):
+        # batch twin of the streaming watermarked rollup — identical
+        # plan shape on a stream (streaming/stream.py
+        # windowed_event_rollup); oracled via DuckDB time_bucket
+        from docling_spark.streaming.stream import windowed_event_rollup
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return windowed_event_rollup(ev, window="1 hour").orderBy(
+            "win_start", "event_type"
+        )
+
     def q_events_stats(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (
@@ -432,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_revenue": q_region_revenue,
         "q_top_customers": q_top_customers,
         "q_events_stats": q_events_stats,
+        "q_event_windows": q_event_windows,
         "q_resume_antijoin": q_resume_antijoin,
     }
 
@@ -626,6 +638,15 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) as median_value,
                    round(max(value), 6) as max_value
             from events group by event_type order by event_type
+        """,
+        "q_event_windows": """
+            select time_bucket(interval '1 hour', ts) as win_start,
+                   event_type,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 2) as sum_value
+            from events
+            group by win_start, event_type
+            order by win_start, event_type
         """,
         "q_resume_antijoin": """
             select lang, cast(count(*) as bigint) as n_pending

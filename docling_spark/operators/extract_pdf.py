@@ -409,8 +409,13 @@ def _multimodal_rows_for_doc(url: str, content: bytes) -> list[dict]:
         page_items = [
             (ix, b) for ix, b in enumerate(all_blocks) if b.page_no == page.page_no
         ]
-        # per-page doc slice -> md/doctags (export.py main_text_start/stop)
+        # per-page doc slice -> md/doctags (export.py main_text_start/stop);
+        # E3 provenance: assemble_doc emits one node per block in order,
+        # so node_id i carries block i's bbox -> real <loc_> tokens
         page_doc = assemble_doc([b for _, b in page_items], name=url)
+        bboxes = {
+            i: (b.l, b.t, b.r, b.b) for i, (_, b) in enumerate(page_items)
+        }
         segments = [
             {
                 "index_in_doc": ix,
@@ -443,7 +448,9 @@ def _multimodal_rows_for_doc(url: str, content: bytes) -> list[dict]:
                 "height": h,
                 "text": " ".join(b.text for _, b in page_items if b.text),
                 "md": to_markdown(page_doc),
-                "doctags": export_to_doctags(page_doc),
+                "doctags": export_to_doctags(
+                    page_doc, bboxes=bboxes, page_w=w, page_h=h
+                ),
                 "cells": cells,
                 "segments": segments,
             }

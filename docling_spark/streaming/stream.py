@@ -74,3 +74,134 @@ def run_available_now(
         .start()
     )
     return query.awaitTermination(timeout_sec)
+
+
+# ------------------------------------------- windowed event-time rollup
+
+def windowed_event_rollup(events, window: str = "1 hour", watermark: str = "30 minutes"):
+    """Event-time tumbling-window aggregation with late-data handling.
+
+    Works on BOTH batch and streaming DataFrames (same plan): group by
+    window(ts) x event_type, count + sum(value). On a stream the
+    watermark bounds state: events later than ``watermark`` behind the
+    max seen event time are dropped and their windows finalized — the
+    idiomatic Structured Streaming shape for crawl-rate/metrics rollups.
+    """
+    from pyspark.sql import functions as F
+
+    w = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        w.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    timeout_sec: int = 300,
+) -> bool:
+    """Streaming twin of the batch rollup: file-source events stream ->
+    watermarked windowed agg -> append-mode parquet sink (windows emit
+    once finalized by the watermark; AvailableNow drains and stops)."""
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(input_dir)
+    )
+    agg = windowed_event_rollup(events, window=window, watermark=watermark)
+    query = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query.awaitTermination(timeout_sec)
+
+
+# ----------------------------- stateful cross-batch dedup (GroupState)
+
+
+def dedup_stream(pages_stream, text_col: str = "text"):
+    """Custom stateful streaming operator: emit each content fingerprint
+    the FIRST time it is seen across ALL micro-batches
+    (``applyInPandasWithState`` keyed by md5(text); state = seen flag).
+
+    A crawl re-visits urls and mirrors endlessly — batch dedup only sees
+    one drop at a time, so the 'have I ever emitted this content'
+    predicate is streaming state by nature. State is one boolean per
+    distinct fingerprint, hash-partitioned by the groupBy — the same
+    shuffle shape as batch exact dedup, held by the state store instead
+    of a shuffle file.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = pages_stream.withColumn("fp_md5", F.md5(F.col(text_col)))
+    out_schema = (
+        "url string, warc_ts timestamp, fp_md5 string, is_first boolean"
+    )
+
+    def emit_first(key, pdfs, state):
+        import pandas as pd
+
+        seen = state.exists
+        rows = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                rows.append(
+                    {
+                        "url": row["url"],
+                        "warc_ts": row["warc_ts"],
+                        "fp_md5": key[0],
+                        "is_first": not seen,
+                    }
+                )
+                seen = True
+        if not state.exists:
+            state.update((True,))
+        yield pd.DataFrame(rows)
+
+    return keyed.groupBy("fp_md5").applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> bool:
+    pages = read_pages_stream(spark, input_dir)
+    deduped = dedup_stream(pages)
+    query = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query.awaitTermination(timeout_sec)

@@ -115,3 +115,70 @@ def test_streaming_available_now_and_incremental(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(in_dir)
     assert run_available_now(spark, in_dir, out_dir, ckpt, num_partitions=4)
     assert spark.read.parquet(out_dir).count() == 50
+
+
+def test_windowed_event_rollup_streaming_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: the streaming run over
+    the events files (append mode, windows finalized by the watermark)
+    must agree with the batch plan on every finalized window."""
+    from docling_spark.streaming.stream import (
+        run_windowed_stream,
+        windowed_event_rollup,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.write.parquet(in_dir)
+
+    assert run_windowed_stream(spark, in_dir, out_dir, ckpt, timeout_sec=120)
+    streamed = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.win_start, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_rollup(ev, window="1 hour").collect()
+    }
+    # streaming append-mode emits only watermark-finalized windows: a
+    # subset of batch, identical values where emitted, and non-trivial
+    assert streamed, "no finalized windows emitted"
+    for key, val in streamed.items():
+        assert batch[key] == val, key
+    assert len(streamed) >= len(batch) - 8  # only the tail can be open
+
+
+def test_stateful_dedup_stream_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a fingerprint first seen in batch 1 is
+    marked is_first=false when the same content re-arrives in batch 2 —
+    state survives across drains via the checkpoint."""
+    from docling_spark.sources.pages import synthesize_pages
+    from docling_spark.streaming.stream import run_dedup_stream
+
+    in_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    batch1 = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=20)
+    batch1.coalesce(1).write.mode("append").parquet(in_dir)
+    assert run_dedup_stream(spark, in_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 20
+    assert first.filter("is_first").count() == 20
+
+    # second drop: 10 exact re-crawls (same content, new url suffix)
+    from pyspark.sql import functions as F
+
+    dup = (
+        batch1.limit(10)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?recrawl=1")))
+    )
+    dup.coalesce(1).write.mode("append").parquet(in_dir)
+    assert run_dedup_stream(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 30
+    # the re-crawled rows are flagged as duplicates
+    re_rows = out.filter(F.col("url").endswith("?recrawl=1")).collect()
+    assert len(re_rows) == 10
+    assert all(not r.is_first for r in re_rows)

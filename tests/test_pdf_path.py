@@ -173,6 +173,8 @@ def test_multimodal_pages_kernel():
             assert 0.0 <= c["l"] <= c["r"] <= 1.0
             assert 0.0 <= c["t"] <= c["b"] <= 1.0
         assert r["md"].strip() and r["text"].strip()
+    # doctags carry real <loc_> provenance from block geometry (E3)
+    assert "<loc_" in rows[0]["doctags"]
     # title appears on page 1's markdown only
     assert rows[0]["md"].startswith("# ")
     assert not rows[1]["md"].startswith("# ")
