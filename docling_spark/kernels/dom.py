@@ -69,14 +69,26 @@ def _name_matches(tag_name: str, name_filter) -> bool:
     return tag_name in name_filter
 
 
+# Parse-time descendant flags: a bit per "rare but scanned-for" tag.
+# Marking open ancestors when such a tag starts costs O(depth) per
+# occurrence; it lets the kernel skip whole-subtree find_all("img") /
+# find("table") scans on the overwhelmingly common subtrees that lack
+# them (profiled: ~15% of kernel time was these no-hit scans).
+WATCH_IMG = 1
+WATCH_FORMULA = 2
+WATCH_TABLE = 4
+_WATCH_BITS = {"img": WATCH_IMG, "inline-formula": WATCH_FORMULA, "table": WATCH_TABLE}
+
+
 class Tag:
-    __slots__ = ("name", "attrs", "contents", "parent")
+    __slots__ = ("name", "attrs", "contents", "parent", "watch")
 
     def __init__(self, name: str, attrs: Optional[dict] = None):
         self.name = name
         self.attrs = attrs or {}
         self.contents: list[Node] = []
         self.parent: Optional[Tag] = None
+        self.watch = 0  # OR of _WATCH_BITS present in DESCENDANTS
 
     # -- construction -------------------------------------------------
     def append(self, node: Node) -> None:
@@ -239,6 +251,10 @@ class _TreeParser(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         node = Tag(tag, self._make_attrs(attrs))
         self.stack[-1].append(node)
+        bit = _WATCH_BITS.get(tag)
+        if bit is not None:
+            for open_tag in self.stack:
+                open_tag.watch |= bit
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
             if tag in PRESERVE_WHITESPACE_TAGS:
@@ -246,6 +262,10 @@ class _TreeParser(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.stack[-1].append(Tag(tag, self._make_attrs(attrs)))
+        bit = _WATCH_BITS.get(tag)
+        if bit is not None:
+            for open_tag in self.stack:
+                open_tag.watch |= bit
 
     def handle_endtag(self, tag: str) -> None:
         # pop to the nearest matching open tag; ignore if unmatched

@@ -20,7 +20,7 @@ from dataclasses import dataclass, replace
 from typing import Optional, Union
 from urllib.parse import urljoin
 
-from .dom import SkipNode, Soup, Tag, TextNode, parse_html
+from .dom import WATCH_FORMULA, WATCH_IMG, WATCH_TABLE, SkipNode, Soup, Tag, TextNode, parse_html
 from .doc_model import (
     BODY,
     CAPTION,
@@ -185,6 +185,9 @@ def split_by_newline(items: list[AnnotatedText]) -> list[list[AnnotatedText]]:
 
 def _get_cell_spans(cell: Tag) -> tuple[int, int]:
     """reference: html_backend.py:973-998 (colspan, rowspan)."""
+    attrs = cell.attrs
+    if "colspan" not in attrs and "rowspan" not in attrs:
+        return (1, 1)  # fast path: the overwhelmingly common cell
 
     def _extract_num(s: str) -> int:
         if s and s[0].isnumeric():
@@ -221,20 +224,24 @@ def parse_table_data(element: Tag) -> Optional[TableDataIR]:
     """reference: html_backend.py:1000-1101 (parse_table_data): two-pass
     row/col counting honoring spans + all-<th> row-header detection,
     then occupancy-grid fill with span'd text duplication."""
-    if element.find("table") is not None:
+    if element.watch & WATCH_TABLE:
         return None  # nested table: skip (reference :1002-1005)
 
-    # hoist the row/cell scans: the reference re-runs soup("tr") and
-    # row(["td","th"]) per pass; identical results, ~2x fewer traversals
-    rows_cells = [(row, row(["td", "th"])) for row in element("tr")]
+    # hoist the row/cell scans AND the span parse: the reference re-runs
+    # soup("tr"), row(["td","th"]) and the span regexes per pass;
+    # identical results, one traversal + one span parse per cell
+    rows_cells = [
+        (row, [(c, _get_cell_spans(c)) for c in row(["td", "th"])])
+        for row in element("tr")
+    ]
+    has_formula = bool(element.watch & WATCH_FORMULA)
 
     num_rows = 0
     num_cols = 0
     for row, row_cells in rows_cells:
         col_count = 0
         is_row_header = True
-        for cell in row_cells:
-            col_span, row_span = _get_cell_spans(cell)
+        for cell, (col_span, row_span) in row_cells:
             col_count += col_span
             if cell.name == "td" or row_span == 1:
                 is_row_header = False
@@ -251,8 +258,7 @@ def parse_table_data(element: Tag) -> Optional[TableDataIR]:
 
         col_header = True
         row_header = True
-        for html_cell in cells:
-            _, row_span = _get_cell_spans(html_cell)
+        for html_cell, (_, row_span) in cells:
             if html_cell.name == "td":
                 col_header = False
                 row_header = False
@@ -265,15 +271,15 @@ def parse_table_data(element: Tag) -> Optional[TableDataIR]:
             start_row_span += 1
 
         col_idx = 0
-        for html_cell in cells:
+        for html_cell, (col_span, row_span) in cells:
             # inline-formula extraction (reference :1067-1071)
-            for formula in html_cell("inline-formula"):
-                math_parts = formula.get_text().split("$$")
-                if len(math_parts) == 3:
-                    formula.replace_with(TextNode(f"$${math_parts[1]}$$"))
+            if has_formula:
+                for formula in html_cell("inline-formula"):
+                    math_parts = formula.get_text().split("$$")
+                    if len(math_parts) == 3:
+                        formula.replace_with(TextNode(f"$${math_parts[1]}$$"))
 
             text = get_cell_text(html_cell).strip()
-            col_span, row_span = _get_cell_spans(html_cell)
             if row_header:
                 row_span -= 1
             while col_idx < num_cols and grid[row_idx + start_row_span][col_idx] is not None:
@@ -617,8 +623,9 @@ class HtmlExtractor:
                 hyperlink=at.hyperlink,
             )
         self.level += 1
-        for img_tag in tag("img"):
-            self._emit_image(img_tag, doc)
+        if tag.watch & WATCH_IMG:
+            for img_tag in tag("img"):
+                self._emit_image(img_tag, doc)
 
     def _handle_list(self, tag: Tag, doc: Doc) -> None:
         """reference: html_backend.py:640-767."""
@@ -709,8 +716,9 @@ class HtmlExtractor:
                 for sublist in li(("ul", "ol"), recursive=False):
                     self._handle_block(sublist, doc)
 
-            for img_tag in li("img"):
-                self._emit_image(img_tag, doc)
+            if li.watch & WATCH_IMG:
+                for img_tag in li("img"):
+                    self._emit_image(img_tag, doc)
 
         self.parents[self.level + 1] = None
         self.level -= 1
@@ -720,7 +728,7 @@ class HtmlExtractor:
         name = tag.name
 
         if name == "figure":
-            img_tag = tag.find("img")
+            img_tag = tag.find("img") if tag.watch & WATCH_IMG else None
             if img_tag is not None:
                 self._emit_image(img_tag, doc)
 
@@ -756,14 +764,16 @@ class HtmlExtractor:
                                     formatting=at.formatting,
                                     hyperlink=at.hyperlink,
                                 )
-            for img_tag in tag("img"):
-                self._emit_image(img_tag, doc)
+            if tag.watch & WATCH_IMG:
+                for img_tag in tag("img"):
+                    self._emit_image(img_tag, doc)
 
         elif name == "table":
             data = parse_table_data(tag)
-            for _img_tag in tag("img"):
-                # reference passes the *table* tag here (:817-819)
-                self._emit_image(tag, doc)
+            if tag.watch & WATCH_IMG:
+                for _img_tag in tag("img"):
+                    # reference passes the *table* tag here (:817-819)
+                    self._emit_image(tag, doc)
             if data is not None:
                 doc.add_table(
                     data=data,
