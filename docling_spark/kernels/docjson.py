@@ -164,7 +164,10 @@ def export_to_dict(
         else:
             base["label"] = node.kind
             base["prov"] = []
-            base["orig"] = node.orig or node.text
+            # verbatim: orig is fixed at node creation (docling TextItem
+            # semantics) — a claim built by appending to an empty item
+            # keeps orig="" (pinned by the APS USPTO json groundtruth)
+            base["orig"] = node.orig
             base["text"] = node.text
             if node.kind == SECTION_HEADER:
                 base["level"] = node.level

@@ -532,8 +532,10 @@ class ApsParser:
         elif field == "PAL" and section == "ABST":
             item = self._last_text_item()
             if item is not None:
+                # text grows; orig keeps the creation-time value
+                # (docling TextItem semantics — pinned by the APS json
+                # groundtruth where appended claims keep orig="")
                 item.text += " " + value
-                item.orig = item.text
             else:
                 self.doc.add_text(label=PARAGRAPH, text=value, parent=self.parents[self.level])
         elif field == "NUM" and section == "CLMS":
@@ -545,7 +547,6 @@ class ApsParser:
                     label=PARAGRAPH, text="", parent=self.parents[self.level]
                 )
             last_claim.text += f" {value.strip()}" if last_claim.text else value.strip()
-            last_claim.orig = last_claim.text
         elif field == "PAC" and section in ("BSUM", "DETD", "DRWD"):
             # captions are siblings of abstract (no level info provided)
             self.level = (

@@ -38,6 +38,20 @@ def test_uspto_md_and_itxt_byte_identical(stem):
     ).read_text()
 
 
+@pytest.mark.parametrize("stem", GOLDEN_STEMS)
+def test_uspto_json_structurally_identical(stem):
+    import json
+
+    from docling_spark.kernels.docjson import export_to_dict
+
+    src = next(DATA.glob(stem + ".*"))
+    raw = src.read_bytes()
+    doc = parse_uspto(raw, name=src.name)
+    mime = "text/plain" if src.suffix == ".txt" else "application/xml"
+    mine = export_to_dict(doc, filename=src.name, raw=raw, mimetype=mime)
+    assert mine == json.loads((GT / f"{stem}.json").read_text())
+
+
 def test_all_uspto_fixtures_parse():
     """Fixtures without groundtruth (incl. the design patent and the
     large ICE grants) must still parse into non-trivial documents."""
