@@ -207,3 +207,21 @@ def test_convert_one_never_raises_on_mutated_crawl_bytes():
             assert row["url"] and row["bytes_in"] == len(mut)
             n_rows += 1
     assert n_rows == len(seeds) * 5
+
+
+@pytest.mark.parametrize(
+    "name", sorted(f.name for f in _pl.Path("/root/reference/tests/data/csv").glob("*.csv"))
+)
+def test_csv_json_structurally_identical(name):
+    import json
+
+    from docling_spark.kernels.docjson import export_to_dict
+
+    src = _pl.Path("/root/reference/tests/data/csv") / name
+    gt_p = _GT / f"{name}.json"
+    if not gt_p.exists():
+        pytest.skip("no json groundtruth")
+    raw = src.read_bytes()
+    doc = parse_csv(raw, name=name.rsplit(".", 1)[0])
+    mine = export_to_dict(doc, filename=name, raw=raw, mimetype="text/csv")
+    assert mine == json.loads(gt_p.read_text())

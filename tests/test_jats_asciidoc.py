@@ -74,3 +74,22 @@ def test_router_dispatches_jats_and_asciidoc():
     r = convert_one("u", b"= Title\n\nSome text.\n\n== Section\n\nMore.\n")
     assert (r["fmt"], r["status"]) == ("asciidoc", "success")
     assert r["md"].startswith("# Title")
+
+
+@pytest.mark.parametrize(
+    "name", ["elife-56337.nxml", "pntd.0008301.nxml", "pone.0234687.nxml"]
+)
+def test_jats_json_structurally_identical(name):
+    import json
+
+    from docling_spark.kernels.docjson import export_to_dict
+    from docling_spark.kernels.jats_kernel import parse_jats
+
+    src = DATA / "jats" / name
+    raw = src.read_bytes()
+    doc = parse_jats(raw, name=src.stem)
+    mine = export_to_dict(doc, filename=name, raw=raw, mimetype="application/xml")
+    gt = json.loads(
+        (DATA / "groundtruth" / "docling_v2" / f"{name}.json").read_text()
+    )
+    assert mine == gt
