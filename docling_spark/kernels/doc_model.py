@@ -20,6 +20,7 @@ from typing import Optional
 # content layers (reference: docling_core ContentLayer)
 BODY = "body"
 FURNITURE = "furniture"
+INVISIBLE = "invisible"  # hidden sheets/slides (docling ContentLayer)
 
 # node labels
 TITLE = "title"
@@ -32,7 +33,6 @@ LIST_ITEM = "list_item"
 PICTURE = "picture"
 TABLE = "table"
 GROUP = "group"
-PARAGRAPH = "paragraph"  # pptx body text (DocItemLabel.PARAGRAPH)
 
 # group kinds (reference: docling_core GroupLabel)
 G_SECTION = "section"
@@ -108,6 +108,12 @@ class DocNode:
     table: Optional[TableDataIR] = None
     caption_id: int = -1  # for pictures: node_id of caption item
     children: list[int] = field(default_factory=list)
+    # provenance: list of dicts {page_no, bbox:{l,t,r,b,coord_origin},
+    # charspan:[a,b]} — docling ProvenanceItem shape (docjson emits it
+    # verbatim); populated by paged/placed backends (xlsx, pptx, pdf)
+    prov: Optional[list] = None
+    # opaque payload metadata (e.g. picture image dict) emitted verbatim
+    image: Optional[dict] = None
 
 
 class Doc:
@@ -119,6 +125,8 @@ class Doc:
         self.name = name
         self.nodes: list[DocNode] = []
         self.body_children: list[int] = []
+        # page_no -> (width, height) for paged sources (docjson "pages")
+        self.pages: dict[int, tuple] = {}
 
     # -- internals ------------------------------------------------------
     def _add(self, node: DocNode, parent: Optional[DocNode]) -> DocNode:

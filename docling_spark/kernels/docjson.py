@@ -140,13 +140,16 @@ def export_to_dict(
             "children": [ref(c) for c in node.children],
             "content_layer": node.content_layer,
         }
+        if node.prov is not None:
+            base["prov"] = node.prov
         if node.kind == GROUP:
+            base.pop("prov", None)
             base["name"] = node.name or "group"
             base["label"] = node.group_label or "unspecified"
             pools["groups"].append(base)
         elif node.kind == TABLE:
             base["label"] = "table"
-            base["prov"] = []
+            base.setdefault("prov", [])
             base["captions"] = [ref(node.caption_id)] if node.caption_id >= 0 else []
             base["references"] = []
             base["footnotes"] = []
@@ -155,7 +158,9 @@ def export_to_dict(
             pools["tables"].append(base)
         elif node.kind == PICTURE:
             base["label"] = "picture"
-            base["prov"] = []
+            base.setdefault("prov", [])
+            if node.image is not None:
+                base["image"] = node.image
             base["captions"] = [ref(node.caption_id)] if node.caption_id >= 0 else []
             base["references"] = []
             base["footnotes"] = []
@@ -163,7 +168,7 @@ def export_to_dict(
             pools["pictures"].append(base)
         else:
             base["label"] = node.kind
-            base["prov"] = []
+            base.setdefault("prov", [])
             # verbatim: orig is fixed at node creation (docling TextItem
             # semantics) — a claim built by appending to an empty item
             # keeps orig="" (pinned by the APS USPTO json groundtruth)
@@ -221,7 +226,13 @@ def export_to_dict(
         "tables": pools["tables"],
         "key_value_items": [],
         "form_items": [],
-        "pages": {},
+        "pages": {
+            str(no): {
+                "size": {"width": float(w), "height": float(h)},
+                "page_no": no,
+            }
+            for no, (w, h) in sorted(getattr(doc, "pages", {}).items())
+        },
     }
 
 

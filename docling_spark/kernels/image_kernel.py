@@ -151,3 +151,46 @@ def image_to_pdf_pages(payload: bytes) -> list[PdfPage]:
         page.bitmap_rects.append((0.0, 0.0, float(w), float(h)))
         pages.append(page)
     return pages
+
+
+def png_dpi(data: bytes, default: int = 72) -> int:
+    """DPI from the PNG pHYs chunk (pixels-per-metre), if present."""
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"pHYs" and pos + 8 + 9 <= len(data):
+            ppm_x, _, unit = struct.unpack(">IIB", data[pos + 8 : pos + 17])
+            if unit == 1 and ppm_x:
+                return round(ppm_x * 0.0254)
+            return default
+        if ctype == b"IDAT":
+            break
+        pos += 12 + length
+    return default
+
+
+def image_ref_payload(path_or_ext: str, data: bytes) -> dict | None:
+    """docling ImageRef-shaped dict for an embedded media file:
+    mimetype, dpi (PNG pHYs, else 72), pixel size, base64 data uri.
+    NOTE: the reference re-encodes pixels through PIL before embedding,
+    so the uri bytes differ from the original media stream while the
+    image content is identical — tests compare modulo the uri."""
+    import base64
+
+    ext = path_or_ext.rsplit(".", 1)[-1].lower()
+    mime = {"png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+            "gif": "image/gif"}.get(ext)
+    if mime is None:
+        return None
+    try:
+        w, h = image_frames(data)[0]
+    except ImageError:
+        return None
+    dpi = png_dpi(data) if mime == "image/png" else 72
+    return {
+        "mimetype": mime,
+        "dpi": dpi,
+        "size": {"width": float(w), "height": float(h)},
+        "uri": f"data:{mime};base64," + base64.b64encode(data).decode("ascii"),
+    }

@@ -133,6 +133,9 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
     pres_rels = _rels_for(z, "ppt/presentation.xml")
 
     doc = Doc(name)
+    sld_sz = pres.find(f"{P}sldSz")
+    slide_w = int(sld_sz.get("cx", "0")) if sld_sz is not None else 0
+    slide_h = int(sld_sz.get("cy", "0")) if sld_sz is not None else 0
     slide_parts: list[str] = []
     sld_lst = pres.find(f"{P}sldIdLst")
     if sld_lst is not None:
@@ -148,6 +151,68 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
             continue
         slide_rels = _rels_for(z, part)
         parent_slide = doc.add_group("chapter", name=f"slide-{slide_ind}")
+        doc.pages[slide_ind + 1] = (float(slide_w), float(slide_h))
+
+        def _ph_key(sp):
+            ph = next(sp.iter(f"{P}ph"), None)
+            if ph is None:
+                return None
+            return (ph.get("type"), ph.get("idx"))
+
+        def _xfrm_box(sp):
+            xfrm = next(sp.iter(f"{A}xfrm"), None) or next(sp.iter(f"{P}xfrm"), None)
+            off = xfrm.find(f"{A}off") if xfrm is not None else None
+            ext = xfrm.find(f"{A}ext") if xfrm is not None else None
+            if off is None or ext is None:
+                return None
+            return (int(off.get("x", "0")), int(off.get("y", "0")),
+                    int(ext.get("cx", "0")), int(ext.get("cy", "0")))
+
+        # placeholders without explicit geometry inherit from the slide
+        # layout, then the layout's master (python-pptx resolution order)
+        inherited: dict = {}
+        for lay_target in _rels_for(z, part).values():
+            if "slideLayout" not in lay_target or lay_target.endswith(".rels"):
+                continue
+            chain = [lay_target]
+            for m_target in _rels_for(z, lay_target).values():
+                if "slideMaster" in m_target and not m_target.endswith(".rels"):
+                    chain.append(m_target)
+            for part_path in reversed(chain):  # master first, layout wins
+                try:
+                    root = ET.fromstring(z.read(part_path))
+                except (KeyError, ET.ParseError):
+                    continue
+                for lsp in root.iter(f"{P}sp"):
+                    key = _ph_key(lsp)
+                    box = _xfrm_box(lsp)
+                    if key is not None and box is not None:
+                        inherited[key] = box
+                        if key[0] in ("title", "ctrTitle"):
+                            inherited[("title-any", None)] = box
+            break
+
+        def make_prov(sp, text: str) -> list:
+            """ProvenanceItem dict (mspowerpoint_backend.py:103-123):
+            raw EMU shape box labeled BOTTOMLEFT (l=x, b=y, r=x+cx,
+            t=y+cy — the reference does not flip), full-slide fallback
+            when the shape has no/zero left offset, charspan over the
+            whole shape text (shared by every item the shape emits)."""
+            box = _xfrm_box(sp)
+            if box is None:
+                key = _ph_key(sp)
+                box = inherited.get(key)
+                if box is None and key is not None and key[0] in ("title", "ctrTitle"):
+                    box = inherited.get(("title-any", None))
+            x, y, cx, cy = box if box is not None else (0, 0, 0, 0)
+            if not x:  # 0/absent left -> full-slide box (reference quirk)
+                x, y, cx, cy = 0, 0, slide_w, slide_h
+            return [{
+                "page_no": slide_ind + 1,
+                "bbox": {"l": float(x), "t": float(y + cy), "r": float(x + cx),
+                         "b": float(y), "coord_origin": "BOTTOMLEFT"},
+                "charspan": [0, len(text)],
+            }]
 
         def handle_text(sp) -> None:
             tx = next(sp.iter(f"{P}txBody"), None)
@@ -158,6 +223,8 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
             if not total:
                 return
             ph = _ph_type(sp)
+            shape_text = "\n".join(_para_text(p_el) for p_el in paragraphs).strip()
+            prov = make_prov(sp, shape_text)
             list_group = None
             enum_value = 0
             for p_el in paragraphs:
@@ -177,10 +244,10 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                     doc.add_list_item(
                         p_text, enumerated=enumerated, marker=marker,
                         parent=list_group,
-                    )
+                    ).prov = prov
                 else:
                     if ph in ("title", "ctrTitle"):
-                        doc.add_title(p_text, parent=parent_slide)
+                        doc.add_title(p_text, parent=parent_slide).prov = prov
                     # NOTE: subTitle stays a paragraph — the reference's
                     # branch (mspowerpoint_backend.py:200-201) evaluates
                     # DocItemLabel.SECTION_HEADER without assigning it,
@@ -188,7 +255,7 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                     else:
                         doc.add_text(
                             label="paragraph", text=p_text, parent=parent_slide
-                        )
+                        ).prov = prov
 
         def handle_shape(sp) -> None:
             tag = sp.tag
@@ -204,11 +271,24 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                 if tbl is not None:
                     table = _parse_table(tbl)
                     if table is not None:
-                        doc.add_table(table, parent=parent_slide)
+                        doc.add_table(table, parent=parent_slide).prov = (
+                            make_prov(sp, "")
+                        )
                 return
             if tag == f"{P}pic":
-                if next(sp.iter(f"{A}blip"), None) is not None:
-                    doc.add_picture(parent=parent_slide)
+                blip = next(sp.iter(f"{A}blip"), None)
+                if blip is not None:
+                    node = doc.add_picture(parent=parent_slide)
+                    node.prov = make_prov(sp, "")
+                    rid = blip.get(f"{R_NS}embed")
+                    target = slide_rels.get(rid, "")
+                    if target:
+                        try:
+                            from .image_kernel import image_ref_payload
+
+                            node.image = image_ref_payload(target, z.read(target))
+                        except KeyError:
+                            pass
                 return
             if tag == f"{P}sp":
                 handle_text(sp)
@@ -226,12 +306,20 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                     notes = ET.fromstring(z.read(target))
                 except (KeyError, ET.ParseError):
                     continue
-                notes_text = " ".join(
+                notes_text = "\n".join(
                     filter(None, (_para_text(p_el) for p_el in notes.iter(f"{A}p")))
                 ).strip()
                 if notes_text:
-                    doc.add_text(
+                    node = doc.add_text(
                         label="text", text=notes_text,
                         content_layer=FURNITURE, parent=parent_slide,
                     )
+                    # notes carry a zero bbox, TOPLEFT (the reference's
+                    # handle_notes emits a size-less provenance)
+                    node.prov = [{
+                        "page_no": slide_ind + 1,
+                        "bbox": {"l": 0.0, "t": 0.0, "r": 0.0, "b": 0.0,
+                                 "coord_origin": "TOPLEFT"},
+                        "charspan": [0, len(notes_text)],
+                    }]
     return doc

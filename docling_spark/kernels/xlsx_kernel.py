@@ -26,7 +26,7 @@ import xml.etree.ElementTree as ET
 import zipfile
 from io import BytesIO
 
-from .doc_model import FURNITURE, BODY, Doc, TableCellData, TableDataIR
+from .doc_model import INVISIBLE, FURNITURE, BODY, Doc, TableCellData, TableDataIR
 
 S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -185,23 +185,63 @@ def _load_sheet(z: zipfile.ZipFile, path: str, name: str, hidden: bool,
     return sheet
 
 
-def _count_sheet_images(z: zipfile.ZipFile, sheet_path: str) -> int:
-    """Images (not charts) referenced from the sheet's drawing."""
+def _sheet_pictures(z: zipfile.ZipFile, sheet_path: str) -> list[dict]:
+    """Images (not charts) from the sheet's drawing, with their cell
+    anchors and media payload (msexcel_backend.py:495-522: bbox =
+    (from.col, from.row, to.col + 1, to.row + 1), dpi 72)."""
     rels_path = re.sub(r"worksheets/([^/]+)$", r"worksheets/_rels/\1.rels", sheet_path)
     try:
         rels = ET.fromstring(z.read(rels_path))
     except KeyError:
-        return 0
-    n = 0
+        return []
+    out: list[dict] = []
     for rel in rels.findall(f"{REL}Relationship"):
-        if rel.get("Type", "").endswith("/drawing"):
-            target = rel.get("Target", "").replace("../", "xl/")
-            try:
-                drawing = ET.fromstring(z.read(target))
-            except KeyError:
-                continue
-            n += sum(1 for _ in drawing.iter(f"{XDR}pic"))
-    return n
+        if not rel.get("Type", "").endswith("/drawing"):
+            continue
+        target = rel.get("Target", "").replace("../", "xl/")
+        try:
+            drawing = ET.fromstring(z.read(target))
+        except KeyError:
+            continue
+        d_rels_path = re.sub(r"drawings/([^/]+)$", r"drawings/_rels/\1.rels", target)
+        try:
+            d_rels = {
+                r.get("Id"): r.get("Target", "")
+                for r in ET.fromstring(z.read(d_rels_path)).findall(f"{REL}Relationship")
+            }
+        except KeyError:
+            d_rels = {}
+        for anchor in drawing:
+            pic = anchor.find(f"{XDR}pic")
+            if pic is None:
+                continue  # charts/graphic frames emit nothing
+            def _cell(which):
+                el = anchor.find(f"{XDR}{which}")
+                if el is None:
+                    return (0, 0)
+                col = el.find(f"{XDR}col")
+                row = el.find(f"{XDR}row")
+                return (
+                    int(col.text) if col is not None and col.text else 0,
+                    int(row.text) if row is not None and row.text else 0,
+                )
+            fc, fr = _cell("from")
+            tc, tr = _cell("to")
+            media = None
+            blip = pic.find(f"{XDR}blipFill/{A_NS}blip")
+            if blip is not None:
+                rid = blip.get(f"{R_NS}embed")
+                t = d_rels.get(rid, "")
+                if t:
+                    mpath = t.replace("../", "xl/")
+                    try:
+                        media = (mpath, z.read(mpath))
+                    except KeyError:
+                        media = None
+            out.append(
+                {"bbox": (fc, fr, tc + 1, tr + 1), "media": media}
+            )
+    return out
 
 
 # ------------------------------------------------ table discovery (port)
@@ -271,7 +311,7 @@ def _find_tables(sheet: _Sheet) -> list[TableDataIR]:
                             seen.add((sr, sc))
             visited.update(seen)
             tables.append(
-                TableDataIR(max_row + 1 - ri, max_col + 1 - rj, cells)
+                (ri, rj, TableDataIR(max_row + 1 - ri, max_col + 1 - rj, cells))
             )
     return tables
 
@@ -300,6 +340,7 @@ def parse_xlsx(data: bytes, name: str = "doc") -> Doc:
     sheets_el = wb.find(f"{S}sheets")
     if sheets_el is None:
         raise XlsxError("no sheets")
+    page_no = 0
     for sh in sheets_el.findall(f"{S}sheet"):
         sheet_name = sh.get("name", "sheet")
         hidden = sh.get("state") in ("hidden", "veryHidden")
@@ -311,12 +352,46 @@ def parse_xlsx(data: bytes, name: str = "doc") -> Doc:
             sheet = _load_sheet(z, path, sheet_name, hidden, shared, date_styles)
         except KeyError:
             continue
-        layer = FURNITURE if hidden else BODY
+        page_no += 1
+        # hidden sheets use the 'invisible' layer (msexcel_backend.py
+        # _get_sheet_content_layer) — excluded from page-size extents
+        layer = INVISIBLE if hidden else BODY
         group = doc.add_group(
             "section", name=f"sheet: {sheet_name}", content_layer=layer
         )
-        for table in _find_tables(sheet):
-            doc.add_table(table, content_layer=layer, parent=group)
-        for _ in range(_count_sheet_images(z, path)):
-            doc.add_picture(content_layer=layer, parent=group)
+
+        def _prov(l, t, r, b):
+            return [{
+                "page_no": page_no,
+                "bbox": {"l": float(l), "t": float(t), "r": float(r),
+                         "b": float(b), "coord_origin": "TOPLEFT"},
+                "charspan": [0, 0],
+            }]
+
+        extents: list[tuple] = []
+        for ri, rj, table in _find_tables(sheet):
+            node = doc.add_table(table, content_layer=layer, parent=group)
+            bbox = (rj, ri, rj + table.num_cols, ri + table.num_rows)
+            node.prov = _prov(*bbox)
+            if layer != INVISIBLE:
+                extents.append(bbox)
+        for pic in _sheet_pictures(z, path):
+            node = doc.add_picture(content_layer=layer, parent=group)
+            node.prov = _prov(*pic["bbox"])
+            if layer != INVISIBLE:
+                extents.append(pic["bbox"])
+            if pic["media"] is not None:
+                from .image_kernel import image_ref_payload
+
+                node.image = image_ref_payload(*pic["media"])
+        # page size = bbox extent of the visible items on the sheet
+        # (msexcel_backend.py _find_page_size)
+        if extents:
+            left = min(e[0] for e in extents)
+            top = min(e[1] for e in extents)
+            right = max(e[2] for e in extents)
+            bottom = max(e[3] for e in extents)
+            doc.pages[page_no] = (right - left, bottom - top)
+        else:
+            doc.pages[page_no] = (0.0, 0.0)
     return doc

@@ -60,3 +60,77 @@ def test_router_dispatches_office_formats():
 def test_office_garbage_is_failure_row():
     r = convert_one("u", b"PK\x03\x04 not really a zip")
     assert r["status"] in ("failure", "skipped")
+
+
+def test_xlsx_json_structurally_identical_mod_image_bytes():
+    """xlsx JSON groundtruth: identical dict except the picture data
+    URI, whose bytes the reference re-encodes through PIL (unavailable
+    here) — same pixels, different PNG compressor. We pin everything
+    else plus the decoded image's dimensions."""
+    import base64
+    import copy
+    import json
+
+    from docling_spark.kernels.docjson import export_to_dict
+    from docling_spark.kernels.image_kernel import image_frames
+    from docling_spark.kernels.xlsx_kernel import parse_xlsx
+
+    src = pathlib.Path("/root/reference/tests/data/xlsx/test-01.xlsx")
+    raw = src.read_bytes()
+    doc = parse_xlsx(raw, name=src.stem)
+    mine = export_to_dict(
+        doc,
+        filename=src.name,
+        raw=raw,
+        mimetype="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    )
+    gt = json.loads(
+        pathlib.Path(
+            "/root/reference/tests/data/groundtruth/docling_v2/test-01.xlsx.json"
+        ).read_text()
+    )
+    g, m = copy.deepcopy(gt), copy.deepcopy(mine)
+    gt_uri = g["pictures"][0]["image"].pop("uri")
+    my_uri = m["pictures"][0]["image"].pop("uri")
+    assert m == g
+    # both URIs decode to a PNG of the same pixel dimensions
+    for uri in (gt_uri, my_uri):
+        assert uri.startswith("data:image/png;base64,")
+    dims = [
+        image_frames(base64.b64decode(u.split(",", 1)[1]))[0]
+        for u in (gt_uri, my_uri)
+    ]
+    assert dims[0] == dims[1] == (421, 430)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["powerpoint_sample.pptx", "powerpoint_with_image.pptx", "powerpoint_bad_text.pptx"],
+)
+def test_pptx_json_structurally_identical(name):
+    """pptx JSON groundtruth incl. provenance (EMU shape boxes with
+    layout/master placeholder inheritance), pages dict, and picture
+    payloads; the with_image fixture compares modulo the data URI whose
+    bytes the reference re-encodes through PIL."""
+    import copy
+    import json
+
+    from docling_spark.kernels.docjson import export_to_dict
+
+    src = pathlib.Path("/root/reference/tests/data/pptx") / name
+    raw = src.read_bytes()
+    doc = parse_pptx(raw, name=src.stem)
+    mine = export_to_dict(
+        doc, filename=name, raw=raw, mimetype="application/vnd.ms-powerpoint"
+    )
+    gt = json.loads(
+        pathlib.Path(
+            f"/root/reference/tests/data/groundtruth/docling_v2/{name}.json"
+        ).read_text()
+    )
+    g, m = copy.deepcopy(gt), copy.deepcopy(mine)
+    for d in (g, m):
+        for p in d.get("pictures", []):
+            if isinstance(p.get("image"), dict):
+                p["image"].pop("uri", None)
+    assert m == g
