@@ -143,9 +143,13 @@ class _Seg:
         return (self.fmt, self.link, self.is_math)
 
 
-def _run_format(rpr) -> Formatting | None:
+def _run_format(rpr) -> Formatting:
+    """Every run carries a Formatting (all-False when unstyled) — the
+    reference builds one per run from python-docx flags, and the json
+    groundtruth pins the explicit all-false dicts on plain paragraphs
+    (titles/headings are added without formatting and stay null)."""
     if rpr is None:
-        return None
+        return Formatting()
 
     def on(tag: str) -> bool:
         el = rpr.find(f"{W}{tag}")
@@ -154,12 +158,9 @@ def _run_format(rpr) -> Formatting | None:
         val = el.get(f"{W}val")
         return val not in ("0", "false", "none")
 
-    f = Formatting(
+    return Formatting(
         bold=on("b"), italic=on("i"), underline=on("u"), strikethrough=on("strike")
     )
-    if not (f.bold or f.italic or f.underline or f.strikethrough):
-        return None
-    return f
 
 
 def _collect_segments(p, rels, drawings: list, textboxes: list) -> list[_Seg]:
@@ -307,6 +308,24 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
     except ET.ParseError as e:
         raise DocxError(f"bad xml: {e}") from e
     rels = _load_rels(z)
+
+    def _media_payload(rid):
+        """ImageRef dict for an embedded image relationship. The docx
+        reference hardcodes dpi=72 (msword_backend.py:1273) regardless
+        of the PNG pHYs chunk."""
+        target = rels.get(rid or "", "")
+        if not target:
+            return None
+        path = target if target.startswith("word/") else f"word/{target}"
+        try:
+            from .image_kernel import image_ref_payload
+
+            payload = image_ref_payload(path, z.read(path))
+            if payload is not None:
+                payload["dpi"] = 72
+            return payload
+        except KeyError:
+            return None
     numbering = _load_numbering(z)
     style_numpr = _load_style_numbering(z)
     body = root.find(f"{W}body")
@@ -321,22 +340,139 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
             rid = blip.get(f"{R_NS}embed") or blip.get(f"{R_NS}link") or ""
             last_para_for_rid[rid] = id(p_el)
     emitted_rids: set[str] = set()
-    counters = _NumCounters()
-    parents: dict[int, object] = {0: None}
-    list_stack: list[tuple[int, object]] = []
+    # ---- reference structure model (msword_backend.py:60-70, 138-170):
+    # fixed parent slots, _get_level = first empty slot, title at slot 0,
+    # heading level N at slot N (wrapped in section groups when levels
+    # skip), lists opened at the current slot with level_at_new_list
+    # bookkeeping, numbered headings via hierarchical counters.
+    parents: dict[int, object] = {i: None for i in range(-1, 11)}
+    numbered_headers: dict[int, int] = {}
+    list_counters: dict[tuple, int] = {}
+    state = {"level_at_new_list": None, "prev_numid": None, "prev_indent": None}
 
-    def current_parent(level: int = 99):
-        best = None
-        for lvl in sorted(parents):
-            if lvl < level and parents[lvl] is not None:
-                best = parents[lvl]
-        return best
+    def get_level() -> int:
+        for k in range(0, 11):
+            if parents[k] is None:
+                return k
+        return 0
+
+    def add_header(curr_level, text, is_numbered_style):
+        """msword_backend.py:965-1026 _add_header."""
+        level = get_level()
+        if isinstance(curr_level, int):
+            if curr_level > level:
+                for i in range(level, curr_level):
+                    parents[i] = doc.add_group(
+                        "section", name=f"header-{i}", parent=parents[i - 1]
+                    )
+            elif curr_level < level:
+                for key in range(curr_level, 11):
+                    parents[key] = None
+            current_level = curr_level
+            parent_level = curr_level - 1
+            add_level = curr_level
+        else:
+            current_level = level
+            parent_level = level - 1
+            add_level = 1
+        if is_numbered_style:
+            numbered_headers[add_level] = numbered_headers.get(add_level, 0) + 1
+            text = f"{numbered_headers[add_level]} {text}"
+            next_level = add_level + 1
+            while next_level in numbered_headers:
+                numbered_headers[next_level] = 0
+                next_level += 1
+            previous_level = add_level - 1
+            while previous_level in numbered_headers:
+                if numbered_headers[previous_level] == 0:
+                    numbered_headers[previous_level] += 1
+                text = f"{numbered_headers[previous_level]}.{text}"
+                previous_level -= 1
+        parents[current_level] = doc.add_heading(
+            text, level=add_level, parent=parents[parent_level]
+        )
+
+    def next_list_counter(numid, ilvl) -> int:
+        key = (numid, ilvl)
+        list_counters[key] = list_counters.get(key, 0) + 1
+        return list_counters[key]
+
+    def add_formatted_list_item(segs_ne, marker, enumerated, level):
+        """msword_backend.py:1028-1070: single segment -> the item
+        itself; several -> empty item + inline group of TEXT parts."""
+        if not segs_ne:
+            return
+        if len(segs_ne) == 1:
+            s = segs_ne[0]
+            if s.text.strip():
+                doc.add_list_item(
+                    s.text.strip(), marker=marker, enumerated=enumerated,
+                    formatting=s.fmt, hyperlink=s.link, parent=parents[level],
+                )
+        else:
+            item = doc.add_list_item(
+                "", marker=marker, enumerated=enumerated, parent=parents[level]
+            )
+            inline = doc.add_group("inline", parent=item)
+            for s in segs_ne:
+                if s.text.strip():
+                    doc.add_text(
+                        text=s.text.strip(), formatting=s.fmt,
+                        hyperlink=s.link, parent=inline,
+                    )
+
+    def add_list_item(numid, ilvl, segs_ne, is_numbered):
+        """msword_backend.py:1072-1168 list open/indent/dedent cases."""
+        level = get_level()
+        prev_numid = state["prev_numid"]
+        prev_indent = state["prev_indent"]
+        marker = f"{next_list_counter(numid, ilvl)}." if is_numbered else ""
+        if prev_numid is None:  # open new list
+            state["level_at_new_list"] = level
+            for key in [k for k in list_counters if k[0] == numid]:
+                list_counters[key] = 0
+            marker = f"{next_list_counter(numid, ilvl)}." if is_numbered else ""
+            parents[level] = doc.add_list_group(name="list", parent=parents[level - 1])
+            add_formatted_list_item(segs_ne, marker, is_numbered, level)
+        elif (
+            prev_numid == numid
+            and state["level_at_new_list"] is not None
+            and prev_indent is not None
+            and prev_indent < ilvl
+        ):  # open indented list
+            base = state["level_at_new_list"]
+            for i in range(base + prev_indent + 1, base + ilvl + 1):
+                parents[i] = doc.add_list_group(name="list", parent=parents[i - 1])
+            add_formatted_list_item(segs_ne, marker, is_numbered, base + ilvl)
+        elif (
+            prev_numid == numid
+            and state["level_at_new_list"] is not None
+            and prev_indent is not None
+            and ilvl < prev_indent
+        ):  # dedent
+            base = state["level_at_new_list"]
+            for k in range(0, 11):
+                if k > base + ilvl:
+                    parents[k] = None
+            add_formatted_list_item(segs_ne, marker, is_numbered, base + ilvl)
+        elif prev_numid == numid or prev_indent == ilvl:
+            add_formatted_list_item(segs_ne, marker, is_numbered, level - 1)
+
+    def close_list():
+        if state["level_at_new_list"] is not None:
+            for key in range(0, 11):
+                if key >= state["level_at_new_list"]:
+                    parents[key] = None
+            state["level_at_new_list"] = None
+        else:
+            for key in range(0, 11):
+                parents[key] = None
 
     def handle_paragraph(p) -> None:
-        nonlocal parents
         drawings: list = []
         textboxes: list = []
         segs = _collect_segments(p, rels, drawings, textboxes)
+        had_media = bool(drawings or textboxes)
         # each embedded image renders once, at its LAST referencing
         # paragraph (word_image_anchors golden: rId6 is anchored twice,
         # one picture appears, before the second referencing paragraph)
@@ -347,29 +483,58 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
                 continue
             if rid:
                 emitted_rids.add(rid)
-            doc.add_picture(parent=current_parent())
+            node = doc.add_picture(parent=parents[get_level() - 1])
+            node.image = _media_payload(rid)
         drawings.clear()
         text = "".join(s.text for s in segs).strip()
         style = _para_style(p)
         num = _para_numbering(p)
-
+        m = _HEADING_RE.match(style)
+        is_title = style.lower() == "title"
+        is_heading = bool(m)
+        segs_ne = [s for s in segs if s.text.strip()]
         has_math = any(s.is_math for s in segs)
+
+        # ---- lists (msword_backend.py:818-858); history tracks every
+        # paragraph's numid — numbered HEADINGS set it too, so the next
+        # plain paragraph triggers the close-list hierarchy wipe (the
+        # reference's observable behavior, pinned by the
+        # unit_test_headers_numbered groundtruth tree)
+        num_ok = num is not None and num[0] != "0"
+        if num_ok and not (is_title or is_heading):
+            num_id, ilvl = num
+            fmt_lvl = numbering.get((num_id, ilvl), ("bullet", ""))
+            is_numbered = fmt_lvl[0] not in ("bullet", "none")
+            if text:
+                add_list_item(num_id, ilvl, segs_ne, is_numbered)
+                state["prev_numid"] = num_id
+                state["prev_indent"] = ilvl
+                return
+        elif (
+            not num_ok
+            and state["prev_numid"] is not None
+            and not (is_title or is_heading)
+        ):  # close the open list, then fall through
+            close_list()
+        state["prev_numid"] = num[0] if num_ok else None
+        state["prev_indent"] = num[1] if num_ok else None
+
         if has_math:
-            list_stack.clear()
             plain = "".join(s.text for s in segs if not s.is_math).strip()
+            level = get_level()
             if not plain:
                 # standalone equation(s) (msword_backend.py:877-885)
                 doc.add_text(
                     label="formula",
                     text="".join(s.text for s in segs if s.is_math),
-                    parent=current_parent(),
+                    parent=parents[level - 1],
                 )
             else:
                 # inline equation: alternating paragraph/formula nodes in
                 # an inline group; pre-equation text keeps its trailing
                 # whitespace, the final tail is stripped
                 # (msword_backend.py:886-917)
-                inline = doc.add_group("inline", parent=current_parent())
+                inline = doc.add_group("inline", parent=parents[level - 1])
                 last_math_i = max(i for i, s in enumerate(segs) if s.is_math)
                 for i, s in enumerate(segs):
                     if s.is_math:
@@ -377,91 +542,58 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
                         continue
                     t = s.text.strip() if i > last_math_i else s.text
                     if t:
+                        # equation-adjacent text is added WITHOUT
+                        # formatting (msword_backend.py:902-907)
                         doc.add_text(
-                            label="paragraph", text=t, formatting=s.fmt,
+                            label="paragraph", text=t,
                             hyperlink=s.link, parent=inline,
                         )
-            for _ in drawings:
-                pass
-            drawings.clear()
-            return
-        m = _HEADING_RE.match(style)
-        is_title = style.lower() == "title"
-        if text and (m or is_title):
-            list_stack.clear()
-            prefix = ""
-            # numbering may come from the paragraph OR the heading style
-            # (styles.xml pPr/numPr — unit_test_headers_numbered golden)
-            hnum = num if num is not None else style_numpr.get(style)
-            if hnum is not None:
-                num_id, ilvl = hnum
-                fmt_lvl = numbering.get((num_id, ilvl))
-                if fmt_lvl and fmt_lvl[0] != "bullet":
-                    # goldens render "1 " / "1.1 " — trailing dot stripped
-                    prefix = (
-                        counters.next_prefix(num_id, ilvl, fmt_lvl[1]).rstrip(".")
-                        + " "
-                    )
-            if is_title:
-                node = doc.add_title(prefix + text)
-                parents = {0: None, 1: node}
-            else:
-                level = int(m.group(1))
-                node = doc.add_heading(
-                    prefix + text, level=level, parent=current_parent(level + 1)
-                )
-                parents = {k: v for k, v in parents.items() if k <= level}
-                parents[level + 1] = node
-        elif text and num is not None and num[0] != "0":
-            num_id, ilvl = num
-            fmt_lvl = numbering.get((num_id, ilvl), ("bullet", ""))
-            enumerated = fmt_lvl[0] not in ("bullet", "none")
-            while list_stack and list_stack[-1][0] > ilvl:
-                list_stack.pop()
-            if not list_stack or list_stack[-1][0] < ilvl:
-                parent = list_stack[-1][1] if list_stack else current_parent()
-                group = doc.add_list_group(name="list", parent=parent)
-                list_stack.append((ilvl, group))
-            group = list_stack[-1][1]
-            if len([s for s in segs if s.text.strip()]) > 1:
-                item = doc.add_list_item(
-                    "", enumerated=enumerated, parent=group
-                )
-                inline = doc.add_group("inline", parent=item)
-                for s in segs:
-                    if s.text.strip():
-                        doc.add_text(
-                            text=s.text.strip(), formatting=s.fmt,
-                            hyperlink=s.link, parent=inline,
-                        )
-            else:
-                s = next((x for x in segs if x.text.strip()), None)
-                if s:
-                    doc.add_list_item(
-                        s.text.strip(), enumerated=enumerated,
-                        formatting=s.fmt, hyperlink=s.link, parent=group,
-                    )
+        elif text and is_title:
+            # Title clears the hierarchy and takes slot 0
+            for key in range(0, 11):
+                parents[key] = None
+            parents[0] = doc.add_title(text)
+        elif text and is_heading:
+            curr_level = int(m.group(1))
+            is_numbered_style = (
+                style in style_numpr or _para_numbering(p) is not None
+            )
+            add_header(curr_level, text, is_numbered_style)
         elif text:
-            list_stack.clear()
-            segs_ne = [s for s in segs if s.text.strip()]
+            level = get_level()
             if len(segs_ne) > 1:
-                inline = doc.add_group("inline", parent=current_parent())
+                inline = doc.add_group("inline", parent=parents[level - 1])
                 for s in segs_ne:
                     doc.add_text(
-                        text=s.text.strip(), formatting=s.fmt,
+                        label="paragraph", text=s.text.strip(), formatting=s.fmt,
                         hyperlink=s.link, parent=inline,
                     )
             else:
                 s = segs_ne[0]
                 doc.add_text(
-                    text=s.text.strip(), formatting=s.fmt, hyperlink=s.link,
-                    parent=current_parent(),
+                    label="paragraph", text=s.text.strip(), formatting=s.fmt,
+                    hyperlink=s.link, parent=parents[level - 1],
                 )
-        for _ in drawings:
-            doc.add_picture(parent=current_parent())
+        elif not had_media:
+            # empty w:p -> an empty paragraph item (the reference keeps
+            # them "for backwards compatibility", msword_backend.py:490-492);
+            # paragraphs that exist only to host a drawing emit nothing
+            doc.add_text(
+                label="paragraph", text="", parent=parents[get_level() - 1]
+            )
+        for rid in drawings:
+            node = doc.add_picture(parent=parents[get_level() - 1])
+            node.image = _media_payload(rid)
         for tb in textboxes:
+            # textbox content lives in its own section group
+            # (msword_backend.py:679-735)
+            level = get_level()
+            group = doc.add_group("section", name="textbox", parent=parents[level - 1])
+            saved = parents[level]
+            parents[level] = group
             for tp in tb.findall(f"{W}p"):
                 handle_paragraph(tp)
+            parents[level] = saved
 
     def handle_table(tbl) -> None:
         rows = tbl.findall(f"{W}tr")
@@ -475,8 +607,11 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
                 elif el.tag == f"{W}tbl":
                     handle_table(el)
             return
-        list_stack.clear()
-        doc.add_table(_parse_table(tbl, rels), parent=current_parent())
+        if state["prev_numid"] is not None:
+            close_list()
+            state["prev_numid"] = None
+            state["prev_indent"] = None
+        doc.add_table(_parse_table(tbl, rels), parent=parents[get_level() - 1])
 
     for el in body:
         if el.tag == f"{W}tbl":
