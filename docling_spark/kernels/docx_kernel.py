@@ -333,6 +333,7 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
         raise DocxError("no w:body")
 
     doc = Doc(name)
+    parent_of = {c: par for par in root.iter() for c in par}
     # pre-pass: last paragraph (by element identity) referencing each image
     last_para_for_rid: dict[str, int] = {}
     for p_el in root.iter(f"{W}p"):
@@ -468,11 +469,98 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
             for key in range(0, 11):
                 parents[key] = None
 
+    VML_TEXTBOX = "{urn:schemas-microsoft-com:vml}textbox"
+
+    def _paragraph_position(el):
+        """Sibling index among w:p children of the same parent
+        (msword_backend.py:542-559)."""
+        par = parent_of.get(el)
+        if par is None:
+            return None
+        sibs = [c for c in par if c.tag == f"{W}p"]
+        try:
+            return sibs.index(el)
+        except ValueError:
+            return None
+
+    def _para_plain_text(el) -> str:
+        return "".join(t.text or "" for t in el.iter(f"{W}t"))
+
+    def handle_textbox_content(container_p) -> None:
+        """Reference textbox pipeline (msword_backend.py:193-201 xpath
+        union, 612-659 container grouping, 669-741 group + position
+        sort + (text, position) dedup): BOTH AlternateContent
+        renditions are collected — duplicates collapse only when text
+        AND sibling position agree, which keeps differently-positioned
+        empty paragraphs (pinned by the textbox.docx groundtruth)."""
+        # match events in true document order, like the reference xpath
+        # union .//w:txbxContent | .//v:textbox//w:p: a txbxContent
+        # container matches at its own position, each VML paragraph at
+        # its own (the txbxContent inside a v:textbox comes FIRST)
+        tb_elements = []
+        for el in container_p.iter():
+            if el.tag == f"{W}txbxContent":
+                tb_elements.append(el)
+            elif el.tag == f"{W}p":
+                cur = parent_of.get(el)
+                while cur is not None and cur is not container_p:
+                    if cur.tag == VML_TEXTBOX:
+                        tb_elements.append(el)
+                        break
+                    cur = parent_of.get(cur)
+        if not tb_elements:
+            return
+        level = get_level()
+        group = doc.add_group("section", name="textbox", parent=parents[level - 1])
+        saved = parents[level]
+        parents[level] = group
+
+        containers: dict[int, list] = {}
+        seen_elems: set[int] = set()
+        for el in tb_elements:
+            if id(el) in seen_elems:
+                continue
+            seen_elems.add(id(el))
+            if el.tag == f"{W}p":
+                cid = None
+                cur = parent_of.get(el)
+                while cur is not None:
+                    if any(k in cur.tag for k in ("textbox", "shape", "txbx")):
+                        cid = id(cur)
+                        break
+                    cur = parent_of.get(cur)
+                containers.setdefault(cid, []).append((el, _paragraph_position(el)))
+            else:  # txbxContent
+                ps = list(el.iter(f"{W}p"))
+                containers.setdefault(id(el), []).extend(
+                    (tp, _paragraph_position(tp)) for tp in ps
+                )
+
+        all_paragraphs = []
+        for paras in containers.values():
+            all_paragraphs.extend(
+                sorted(paras, key=lambda x: (x[1] is None, x[1] if x[1] is not None else float("inf")))
+            )
+        processed: set = set()
+        for tp, pos in all_paragraphs:
+            key = (_para_plain_text(tp), pos)
+            if key in processed:
+                continue
+            processed.add(key)
+            handle_paragraph(tp)
+        parents[level] = saved
+
     def handle_paragraph(p) -> None:
         drawings: list = []
         textboxes: list = []
         segs = _collect_segments(p, rels, drawings, textboxes)
-        had_media = bool(drawings or textboxes)
+        # textbox content first (walker order, msword_backend.py:193-250);
+        # the container paragraph still flows through text handling below,
+        # which is how the reference emits the empty paragraph after each
+        # textbox group (its text excludes textbox-nested runs)
+        if any(el.tag == f"{W}txbxContent" or el.tag == VML_TEXTBOX for el in p.iter()):
+            handle_textbox_content(p)
+        had_media = bool(drawings)
         # each embedded image renders once, at its LAST referencing
         # paragraph (word_image_anchors golden: rId6 is anchored twice,
         # one picture appears, before the second referencing paragraph)
@@ -505,11 +593,13 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
             num_id, ilvl = num
             fmt_lvl = numbering.get((num_id, ilvl), ("bullet", ""))
             is_numbered = fmt_lvl[0] not in ("bullet", "none")
-            if text:
-                add_list_item(num_id, ilvl, segs_ne, is_numbered)
-                state["prev_numid"] = num_id
-                state["prev_indent"] = ilvl
-                return
+            # no text gate: an empty numbered paragraph still OPENS the
+            # list group (reference _add_list_item runs unconditionally;
+            # the item itself is skipped when the text is empty)
+            add_list_item(num_id, ilvl, segs_ne, is_numbered)
+            state["prev_numid"] = num_id
+            state["prev_indent"] = ilvl
+            return
         elif (
             not num_ok
             and state["prev_numid"] is not None
@@ -584,16 +674,6 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
         for rid in drawings:
             node = doc.add_picture(parent=parents[get_level() - 1])
             node.image = _media_payload(rid)
-        for tb in textboxes:
-            # textbox content lives in its own section group
-            # (msword_backend.py:679-735)
-            level = get_level()
-            group = doc.add_group("section", name="textbox", parent=parents[level - 1])
-            saved = parents[level]
-            parents[level] = group
-            for tp in tb.findall(f"{W}p"):
-                handle_paragraph(tp)
-            parents[level] = saved
 
     def handle_table(tbl) -> None:
         rows = tbl.findall(f"{W}tr")
@@ -660,8 +740,14 @@ def _para_style(p) -> str:
 
 
 def _para_numbering(p) -> tuple[str, int] | None:
-    """(numId, ilvl) when the paragraph has numbering, else None."""
-    numpr = p.find(f"{W}pPr/{W}numPr")
+    """(numId, ilvl) when the paragraph has numbering, else None.
+
+    DESCENDANT search, like the reference's ``.//w:numPr`` xpath
+    (msword_backend.py:305-307): a paragraph hosting a textbox picks up
+    the first nested numPr — an observable quirk the textbox.docx
+    groundtruth depends on (the container joins/opens the inner list's
+    numbering history)."""
+    numpr = p.find(f".//{W}numPr")
     if numpr is None:
         return None
     nid = numpr.find(f"{W}numId")

@@ -137,16 +137,14 @@ def test_pptx_json_structurally_identical(name):
 
 
 _DOCX_JSON_IDENTICAL = [
-    # dict-identical against groundtruth
+    # dict-identical against groundtruth (three compare modulo the
+    # PIL-re-encoded picture data URI: test_emf, word_image_anchors,
+    # word_sample)
     "equations.docx", "lorem_ipsum.docx", "table_with_equations.docx",
-    "tablecell.docx", "unit_test_formatting.docx", "unit_test_headers.docx",
-    "unit_test_headers_numbered.docx", "unit_test_lists.docx",
-    "word_tables.docx",
-    # identical modulo the PIL-re-encoded picture data URI
-    "test_emf_docx.docx", "word_image_anchors.docx", "word_sample.docx",
-    # textbox.docx is the one remaining divergence: the reference emits
-    # both mc:AlternateContent renditions of nested VML textboxes with a
-    # different group placement — markdown parity still holds for it
+    "tablecell.docx", "textbox.docx", "unit_test_formatting.docx",
+    "unit_test_headers.docx", "unit_test_headers_numbered.docx",
+    "unit_test_lists.docx", "word_tables.docx", "test_emf_docx.docx",
+    "word_image_anchors.docx", "word_sample.docx",
 ]
 
 
@@ -177,3 +175,24 @@ def test_docx_json_structurally_identical(name):
             if isinstance(p.get("image"), dict):
                 p["image"].pop("uri", None)
     assert m == g
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        f.name
+        for f in pathlib.Path("/root/reference/tests/data/docx").glob("*.docx")
+        if (pathlib.Path("/root/reference/tests/data/groundtruth/docling_v2")
+            / f"{f.name}.itxt").exists()
+    ),
+)
+def test_docx_itxt_byte_identical(name):
+    from docling_spark.kernels.textout import to_indented_text
+
+    src = pathlib.Path("/root/reference/tests/data/docx") / name
+    doc = parse_docx(src.read_bytes(), name=src.stem)
+    gt = (
+        pathlib.Path("/root/reference/tests/data/groundtruth/docling_v2")
+        / f"{name}.itxt"
+    ).read_text()
+    assert to_indented_text(doc) == gt
