@@ -336,6 +336,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "win_start", "event_type"
         )
 
+    def q_salted_user_counts(spark, sf_dir):
+        # skew guard: distinct users per event_type with value-derived
+        # salting (event_type is low-cardinality/hot — the exact shape
+        # that melts a reducer at corpus scale). Oracle: plain
+        # count(distinct) — salting is exact by construction.
+        from docling_spark.operators import skew
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return skew.salted_distinct_count(
+            ev, "event_type", "user_id", n_salts=16, alias="n_users"
+        )
+
     def q_events_stats(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (
@@ -443,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_revenue": q_region_revenue,
         "q_top_customers": q_top_customers,
         "q_events_stats": q_events_stats,
+        "q_salted_user_counts": q_salted_user_counts,
         "q_event_windows": q_event_windows,
         "q_resume_antijoin": q_resume_antijoin,
     }
@@ -637,6 +650,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(distinct user_id) as bigint) as n_users,
                    round(quantile_cont(value, 0.5), 6) as median_value,
                    round(max(value), 6) as max_value
+            from events group by event_type order by event_type
+        """,
+        "q_salted_user_counts": """
+            select event_type, cast(count(distinct user_id) as bigint) as n_users
             from events group by event_type order by event_type
         """,
         "q_event_windows": """
