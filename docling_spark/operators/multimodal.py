@@ -152,3 +152,82 @@ def media_rollup(features: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# -------------------------------------------------------- audio metadata
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits_per_sample", IntegerType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """Real (non-stub) WAV metadata from the RIFF fmt/data chunks:
+    sample rate, channels, bit depth, duration. The audio PIPELINE in
+    the reference is ASR-model-bound (B11/V-ops, out of scope); the
+    typed-metadata column is the part a training-data pipeline needs
+    regardless of ASR."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen % 2)
+    if fmt is None:
+        return None
+    rate, channels, bits = fmt
+    byte_rate = rate * channels * max(bits // 8, 1)
+    duration = (data_len / byte_rate) if (data_len and byte_rate) else 0.0
+    return {
+        "format": "wav",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "duration_sec": round(duration, 6),
+    }
+
+
+def extract_audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload) -> typed audio metadata rows; non-WAV audio
+    (mp3/m4a need a codec) yields format='unknown' rows, never errors."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = parse_wav_header(payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "format": meta["format"] if meta else "unknown",
+                        "sample_rate": meta["sample_rate"] if meta else 0,
+                        "channels": meta["channels"] if meta else 0,
+                        "bits_per_sample": meta["bits_per_sample"] if meta else 0,
+                        "duration_sec": meta["duration_sec"] if meta else 0.0,
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
+
+    return df.select("media_id", payload_col).mapInPandas(run, AUDIO_META_SCHEMA)

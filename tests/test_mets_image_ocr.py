@@ -150,3 +150,36 @@ def test_scanned_pdf_bitmap_rect_from_content_stream():
     assert pages[0].cells[0].text == "caption"
     cov, dec = ocr_decision(pages[0])
     assert dec == "none"  # small image, text present
+
+
+def test_wav_header_parse_and_spark_metadata(spark):
+    """B11-adjacent: real WAV header parsing (rate/channels/bits/
+    duration) + the Spark typed-metadata plumbing."""
+    import struct
+
+    from docling_spark.operators.multimodal import (
+        extract_audio_metadata,
+        parse_wav_header,
+    )
+
+    def make_wav(rate=16000, channels=1, bits=16, seconds=2):
+        n = rate * channels * (bits // 8) * seconds
+        data = b"\x00" * n
+        hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * channels * bits // 8,
+                                    channels * bits // 8, bits)
+        return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+    meta = parse_wav_header(make_wav())
+    assert meta == {"format": "wav", "sample_rate": 16000, "channels": 1,
+                    "bits_per_sample": 16, "duration_sec": 2.0}
+    assert parse_wav_header(b"RIFF....WEBPnot audio") is None
+
+    rows = [(0, bytearray(make_wav())), (1, bytearray(make_wav(44100, 2, 16, 1))),
+            (2, bytearray(b"\xff\xfbmp3-needs-codec"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in extract_audio_metadata(df).collect()}
+    assert out[0].duration_sec == 2.0 and out[0].sample_rate == 16000
+    assert out[1].channels == 2 and out[1].sample_rate == 44100
+    assert out[2].format == "unknown"
