@@ -599,7 +599,15 @@ class PdfDocument:
 
     def page_content(self, page: dict) -> bytes:
         contents = page.get("Contents")
-        refs = contents if isinstance(contents, list) else [contents]
+        # /Contents may be a stream ref, an array of stream refs, or a
+        # ref to an indirect ARRAY object (seen in Redbooks-style PDFs)
+        if isinstance(contents, Ref):
+            resolved = self.resolve(contents)
+            refs = resolved if isinstance(resolved, list) else [contents]
+        elif isinstance(contents, list):
+            refs = contents
+        else:
+            refs = [contents]
         parts = []
         for r in refs:
             if isinstance(r, Ref) and r.num in self.objects:

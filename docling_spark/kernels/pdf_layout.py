@@ -61,12 +61,27 @@ def _group_rows(
     return rows
 
 
+_WORD_GAP_EM = 0.17  # inter-cell gap above this fraction of the font
+# size reads as a word space; below it the cells are kerned fragments
+# of one word. Real PDFs show per-glyph/per-cluster Tj runs — pdfium
+# resolves this internally (get_text_bounded over the merged bbox,
+# pypdfium2_backend.py:232-240); this is the same decision from cell
+# geometry.
+
+
 def _merge_group(group: list[TextCell]) -> TextCell:
     if len(group) == 1:
         return group[0]
     ordered = sorted(group, key=lambda c: c.l)
+    parts = [ordered[0].text]
+    for prev, cur in zip(ordered, ordered[1:]):
+        gap = cur.l - prev.r
+        size = max(min(prev.size, cur.size), 1.0)
+        if gap > size * _WORD_GAP_EM:
+            parts.append(" ")
+        parts.append(cur.text)
     return TextCell(
-        text=" ".join(c.text for c in ordered if c.text).strip(),
+        text="".join(parts).strip(),
         l=min(c.l for c in group),
         t=min(c.t for c in group),
         r=max(c.r for c in group),

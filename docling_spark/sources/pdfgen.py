@@ -1,9 +1,8 @@
 """Deterministic synthetic PDF generator (pure stdlib).
 
 Produces small-but-real PDF files (classic xref, Helvetica, optional
-FlateDecode) for the PDF extraction path — the sandbox strips the
-reference's PDF fixtures (/root/reference/tests/.MISSING_LARGE_BLOBS),
-so correctness is validated against *constructed* ground truth: every
+FlateDecode) for the PDF extraction path — constructed ground truth
+complements the real reference fixtures (tests/test_pdf_real.py): every
 page is generated from a (title, sections) spec, and the expected
 block texts are known by construction.
 

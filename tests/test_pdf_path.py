@@ -1,10 +1,10 @@
 """PDF extraction path: kernel roundtrip against constructed ground
 truth, docling-semantics unit tests, and both Spark strategies.
 
-The reference's PDF fixtures are stripped in this sandbox
-(/root/reference/tests/.MISSING_LARGE_BLOBS), so correctness is proven
-against generated PDFs whose expected structure is known by
-construction (docling_spark/sources/pdfgen.py), mirroring how the
+Correctness is proven two ways: against generated PDFs whose
+expected structure is known by construction, and (test_pdf_real.py)
+against the reference's real PDF fixtures with word-level content
+recall vs its committed groundtruth (docling_spark/sources/pdfgen.py), mirroring how the
 reference validates cells/text (tests/verify_utils.py verify_cells).
 """
 
@@ -61,17 +61,20 @@ def test_truncated_pdf_still_parses():
 
 def test_merge_horizontal_cells_reference_semantics():
     """pypdfium2_backend.py:155-250: same-row fragments merge when the
-    gap <= avg height; distant fragments stay separate."""
+    gap <= avg height; the merged text re-decides spaces from glyph
+    gaps (pdfium's get_text_bounded behavior): a kerning-sized gap
+    concatenates, a word-sized gap inserts a space."""
     row = [
         TextCell("Hel", 10, 20, 28, 10, 10),
-        TextCell("lo", 29, 20, 40, 10, 10),  # gap 1 <= 10
-        TextCell("world", 120, 20, 160, 10, 10),  # gap 80 > 10
+        TextCell("lo", 29, 20, 40, 10, 10),  # gap 1 < 0.17em -> no space
+        TextCell("world", 45, 20, 80, 10, 10),  # gap 5 > 0.17em -> space
+        TextCell("far", 160, 20, 180, 10, 10),  # gap 80 > height -> new cell
     ]
     merged = merge_horizontal_cells(row)
-    assert [c.text for c in merged] == ["Hel lo", "world"]
+    assert [c.text for c in merged] == ["Hello world", "far"]
     # second visual row stays its own line
     two_rows = row[:2] + [TextCell("below", 10, 40, 50, 30, 10)]
-    assert [c.text for c in merge_horizontal_cells(two_rows)] == ["Hel lo", "below"]
+    assert [c.text for c in merge_horizontal_cells(two_rows)] == ["Hello", "below"]
 
 
 def test_rate_text_quality_reference_semantics():
