@@ -698,6 +698,13 @@ def parse_docx(data: bytes, name: str = "doc") -> Doc:
             handle_table(el)
         elif el.tag == f"{W}p":
             handle_paragraph(el)
+        elif el.tag == f"{W}sdt":
+            # structured document tag (e.g. table of contents): process
+            # the contained paragraphs (msword_backend.py:267-274)
+            content = el.find(f".//{W}sdtContent")
+            if content is not None:
+                for sp in content.iter(f"{W}p"):
+                    handle_paragraph(sp)
     return doc
 
 

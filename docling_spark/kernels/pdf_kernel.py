@@ -637,7 +637,10 @@ _GLYPH_NAMES = {
     "quoteleft": "‘", "quoteright": "’",
     "quotedblleft": "“", "quotedblright": "”",
     "endash": "–", "emdash": "—", "bullet": "•",
-    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "ellipsis": "…",
+    # ligature glyph names expand to their ASCII sequences, matching
+    # pdfium's text extraction (and the reference groundtruth)
+    "fi": "fi", "fl": "fl", "ff": "ff", "ffi": "ffi", "ffl": "ffl",
     "dagger": "†", "daggerdbl": "‡", "trademark": "™",
     "copyright": "©", "registered": "®", "degree": "°",
     "eacute": "é", "egrave": "è", "agrave": "à",

@@ -196,3 +196,34 @@ def test_docx_itxt_byte_identical(name):
         / f"{name}.itxt"
     ).read_text()
     assert to_indented_text(doc) == gt
+
+
+def test_docx_sdt_table_of_contents_extracts():
+    """w:sdt containers (e.g. a ToC) contribute their paragraphs
+    (msword_backend.py:267-274)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    z = zipfile.ZipFile(buf, "w")
+    z.writestr(
+        "[Content_Types].xml",
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>',
+    )
+    z.writestr(
+        "word/document.xml",
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+        "<w:sdt><w:sdtContent>"
+        "<w:p><w:r><w:t>Contents</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>1. Introduction ... 3</w:t></w:r></w:p>"
+        "</w:sdtContent></w:sdt>"
+        "<w:p><w:r><w:t>After the ToC.</w:t></w:r></w:p>"
+        "</w:body></w:document>",
+    )
+    z.close()
+    doc = parse_docx(buf.getvalue())
+    assert [n.text for n in doc.nodes if n.text] == [
+        "Contents", "1. Introduction ... 3", "After the ToC.",
+    ]
