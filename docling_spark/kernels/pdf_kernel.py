@@ -546,6 +546,17 @@ class PdfDocument:
                         fi.widths = _parse_cid_widths(w, self.resolve)
         else:
             enc = self.resolve(fd.get("Encoding"))
+            base_name = None
+            if isinstance(enc, Name):
+                base_name = str(enc)
+            elif isinstance(enc, dict):
+                be = self.resolve(enc.get("BaseEncoding"))
+                if isinstance(be, Name):
+                    base_name = str(be)
+            if base_name == "MacRomanEncoding":
+                fi.base_encoding = "mac_roman"
+            elif base_name == "WinAnsiEncoding":
+                fi.base_encoding = "cp1252"
             if isinstance(enc, dict):
                 diffs = self.resolve(enc.get("Differences"))
                 if isinstance(diffs, list):
@@ -742,6 +753,14 @@ def parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
     return mapping, code_bytes
 
 
+# Unicode presentation-form ligatures expand to their ASCII sequences,
+# matching pdfium's extracted text (and the reference groundtruth).
+_LIGATURES = str.maketrans(
+    {0xFB00: "ff", 0xFB01: "fi", 0xFB02: "fl", 0xFB03: "ffi",
+     0xFB04: "ffl", 0xFB05: "ft", 0xFB06: "st"}
+)
+
+
 @dataclass
 class FontInfo:
     """Decoded view of one /Font resource: how to turn show-string
@@ -752,6 +771,9 @@ class FontInfo:
     diff_map: dict[int, str] | None = None  # simple-font /Differences
     widths: dict[int, float] | None = None
     default_width: float = 500.0
+    # named base encoding codec: 'mac_roman' (/MacRomanEncoding) or
+    # 'cp1252' (/WinAnsiEncoding); None -> PDFDocEncoding ~ latin-1
+    base_encoding: str | None = None
 
     def decode(self, raw: bytes) -> list[tuple[int, str]]:
         """bytes -> [(code, text)] — one entry per character code."""
@@ -760,7 +782,7 @@ class FontInfo:
             for i in range(0, len(raw) - 1, 2):
                 code = (raw[i] << 8) | raw[i + 1]
                 if self.to_unicode is not None and code in self.to_unicode:
-                    out.append((code, self.to_unicode[code]))
+                    out.append((code, self.to_unicode[code].translate(_LIGATURES)))
                 else:
                     # no ToUnicode: CID is a glyph id — garbled output
                     # by design, caught by the quality score downstream
@@ -768,11 +790,14 @@ class FontInfo:
         else:
             for code in raw:
                 if self.to_unicode is not None and code in self.to_unicode:
-                    out.append((code, self.to_unicode[code]))
+                    out.append((code, self.to_unicode[code].translate(_LIGATURES)))
                 elif self.diff_map is not None and code in self.diff_map:
-                    out.append((code, self.diff_map[code]))
+                    out.append((code, self.diff_map[code].translate(_LIGATURES)))
                 else:
-                    out.append((code, bytes([code]).decode("latin-1")))
+                    ch = bytes([code]).decode(
+                        self.base_encoding or "latin-1", "replace"
+                    )
+                    out.append((code, ch.translate(_LIGATURES)))
         return out
 
     def advance(self, codes: list[int]) -> float:
