@@ -206,8 +206,9 @@ def parse_wav_header(payload: bytes) -> dict | None:
 
 
 def extract_audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """(media_id, payload) -> typed audio metadata rows; non-WAV audio
-    (mp3/m4a need a codec) yields format='unknown' rows, never errors."""
+    """(media_id, payload) -> typed audio metadata rows (WAV chunks or
+    MPEG frame headers); other formats yield format='unknown' rows,
+    never errors."""
 
     def run(batches):
         import pandas as pd
@@ -216,7 +217,7 @@ def extract_audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
-                meta = parse_wav_header(payload)
+                meta = parse_wav_header(payload) or parse_mp3_header(payload)
                 rows.append(
                     {
                         "media_id": mid,
@@ -231,3 +232,56 @@ def extract_audio_metadata(df: DataFrame, payload_col: str = "payload") -> DataF
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_META_SCHEMA.fields])
 
     return df.select("media_id", payload_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+_MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES_V1 = [44100, 48000, 32000, 0]
+_MP3_RATES_V2 = [22050, 24000, 16000, 0]
+_MP3_RATES_V25 = [11025, 12000, 8000, 0]
+
+
+def parse_mp3_header(payload: bytes) -> dict | None:
+    """MPEG audio metadata from the first frame header (skipping any
+    ID3v2 tag): version/layer, sample rate, channels, bitrate, and a
+    CBR duration estimate from the stream length. Real parsing, no
+    codec — decode/ASR stay model-bound and out of scope."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+            version = (b1 >> 3) & 0x3  # 3=V1, 2=V2, 0=V2.5
+            layer = (b1 >> 1) & 0x3  # 1=III
+            if version == 1 or layer == 0:
+                pos += 1
+                continue
+            rates = {3: _MP3_RATES_V1, 2: _MP3_RATES_V2, 0: _MP3_RATES_V25}[version]
+            rate = rates[(b2 >> 2) & 0x3]
+            if not rate:
+                pos += 1
+                continue
+            bitrate_i = (b2 >> 4) & 0xF
+            bitrate = (
+                _MP3_BITRATES_V1L3[bitrate_i] * 1000
+                if version == 3 and layer == 1 and bitrate_i < 15
+                else 0
+            )
+            channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+            duration = (
+                round((n - pos) * 8 / bitrate, 3) if bitrate else 0.0
+            )
+            return {
+                "format": "mp3",
+                "sample_rate": rate,
+                "channels": channels,
+                "bits_per_sample": 0,  # compressed stream
+                "duration_sec": duration,
+            }
+        pos += 1
+    return None

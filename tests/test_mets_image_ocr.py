@@ -183,3 +183,16 @@ def test_wav_header_parse_and_spark_metadata(spark):
     assert out[0].duration_sec == 2.0 and out[0].sample_rate == 16000
     assert out[1].channels == 2 and out[1].sample_rate == 44100
     assert out[2].format == "unknown"
+
+
+def test_mp3_metadata_from_real_fixture():
+    """The reference's real audio fixture: the frame-header parse must
+    recover the advertised ~10 s duration and the stream parameters."""
+    from docling_spark.operators.multimodal import parse_mp3_header
+
+    raw = Path("/root/reference/tests/data/audio/sample_10s.mp3").read_bytes()
+    meta = parse_mp3_header(raw)
+    assert meta is not None and meta["format"] == "mp3"
+    assert meta["sample_rate"] == 44100
+    assert 9.0 <= meta["duration_sec"] <= 11.5
+    assert parse_mp3_header(b"\x00not audio at all") is None
