@@ -61,6 +61,54 @@ def _group_rows(
     return rows
 
 
+def _bidi_class(ch: str) -> str:
+    import unicodedata
+
+    return unicodedata.bidirectional(ch)
+
+
+def _is_ltr_cell(text: str) -> bool:
+    return all(_bidi_class(c) in ("L", "EN", "ES", "CS", "WS", "ON") for c in text)
+
+
+def _logical_order(parts_cells: list, parts_seps: list) -> tuple[list, list]:
+    """Visual LTR glyph order -> logical order for RTL-dominant lines
+    (pdfium emits logical order; PDFs place glyphs visually): reverse
+    the cell sequence, then flip maximal LTR runs back. Works at GLYPH
+    granularity so multi-char ToUnicode expansions (e.g. lam-alef
+    ligatures) keep their internal logical order."""
+    text_all = "".join(parts_cells)
+    n_rtl = sum(1 for c in text_all if _bidi_class(c) in ("R", "AL", "AN"))
+    n_ltr = sum(1 for c in text_all if _bidi_class(c) == "L")
+    if n_rtl == 0 or n_rtl < n_ltr:
+        return parts_cells, parts_seps
+    cells = parts_cells[::-1]
+    seps = parts_seps[::-1]
+    # re-flip maximal LTR cell runs to their original (LTR) order
+    out_cells: list = []
+    out_seps: list = []
+    i = 0
+    while i < len(cells):
+        if cells[i].strip() and _is_ltr_cell(cells[i]):
+            j = i
+            while j < len(cells) and cells[j].strip() and _is_ltr_cell(cells[j]):
+                j += 1
+            out_cells.extend(cells[i:j][::-1])
+            # separators inside the run reverse with it; the run's
+            # trailing separator stays at the boundary
+            inner = seps[i : j - 1][::-1] if j - 1 > i else []
+            out_seps.extend(inner)
+            if j - 1 < len(seps):
+                out_seps.append(seps[j - 1])
+            i = j
+        else:
+            out_cells.append(cells[i])
+            if i < len(seps):
+                out_seps.append(seps[i])
+            i += 1
+    return out_cells, out_seps
+
+
 _WORD_GAP_EM = 0.17  # inter-cell gap above this fraction of the font
 # size reads as a word space; below it the cells are kerned fragments
 # of one word. Real PDFs show per-glyph/per-cluster Tj runs — pdfium
@@ -73,13 +121,17 @@ def _merge_group(group: list[TextCell]) -> TextCell:
     if len(group) == 1:
         return group[0]
     ordered = sorted(group, key=lambda c: c.l)
-    parts = [ordered[0].text]
+    texts = [c.text for c in ordered]
+    seps = []
     for prev, cur in zip(ordered, ordered[1:]):
         gap = cur.l - prev.r
         size = max(min(prev.size, cur.size), 1.0)
-        if gap > size * _WORD_GAP_EM:
-            parts.append(" ")
-        parts.append(cur.text)
+        seps.append(" " if gap > size * _WORD_GAP_EM else "")
+    texts, seps = _logical_order(texts, seps)
+    parts = [texts[0]]
+    for sep, t in zip(seps, texts[1:]):
+        parts.append(sep)
+        parts.append(t)
     return TextCell(
         text="".join(parts).strip(),
         l=min(c.l for c in group),
