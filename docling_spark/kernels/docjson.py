@@ -330,8 +330,15 @@ def doc_from_dict(d: dict) -> Doc:
             node = by_ref[item["self_ref"]]
             node.parent_id = resolve(item.get("parent", {"$ref": "#/body"}))
             node.children = [resolve(c) for c in item.get("children", [])]
+            if item.get("prov"):
+                node.prov = item["prov"]
+            if pool == "pictures" and item.get("image") is not None:
+                node.image = item["image"]
             if pool in ("pictures", "tables") and item.get("captions"):
                 node.caption_id = resolve(item["captions"][0])
     for c in d.get("body", {}).get("children", []):
         doc.body_children.append(resolve(c))
+    for no, page in (d.get("pages") or {}).items():
+        size = page.get("size", {})
+        doc.pages[int(no)] = (size.get("width", 0.0), size.get("height", 0.0))
     return doc

@@ -101,6 +101,11 @@ def to_html(doc: Doc) -> str:
     """Serialize the body tree to a standalone HTML document."""
     body: list[str] = []
     seen_body_heading = False
+    owned_captions = {
+        n.caption_id
+        for n in doc.nodes
+        if n.kind in (PICTURE, TABLE) and n.caption_id >= 0
+    }
 
     def walk(node: DocNode) -> None:
         nonlocal seen_body_heading
@@ -124,7 +129,7 @@ def to_html(doc: Doc) -> str:
         elif node.kind == CAPTION:
             # serialized by the owning picture/table; standalone
             # captions render as paragraphs
-            if not _is_owned_caption(node):
+            if node.node_id not in owned_captions:
                 body.append(f"<p>{_inline(node)}</p>")
         elif node.kind == CODE:
             body.append(f"<pre><code>{_esc(node.text)}</code></pre>")
@@ -181,13 +186,6 @@ def to_html(doc: Doc) -> str:
             # section wrapper / inline groups serialize transparently
         for cid in node.children:
             walk(doc.nodes[cid])
-
-    def _is_owned_caption(node: DocNode) -> bool:
-        return any(
-            n.caption_id == node.node_id
-            for n in doc.nodes
-            if n.kind in (PICTURE, TABLE)
-        )
 
     for cid in doc.body_children:
         walk(doc.nodes[cid])

@@ -317,13 +317,20 @@ class PdfDocument:
         """Encrypted files are an explicit typed failure, not garbled
         cells: /Encrypt appears in the trailer dict (classic xref) or
         the /Type /XRef stream dict (PDF 1.5+)."""
+        # only the LAST trailer is active (incremental updates append a
+        # new one; a decrypted-and-resaved file may carry a stale
+        # /Encrypt in a superseded trailer)
+        last = None
         for tm in re.finditer(rb"trailer", self.data):
+            last = tm
+        if last is not None:
             try:
-                trailer = _Lexer(self.data, tm.end()).parse_object()
-            except PdfError:
-                continue
-            if isinstance(trailer, dict) and trailer.get("Encrypt") is not None:
-                raise PdfError("encrypted pdf")
+                trailer = _Lexer(self.data, last.end()).parse_object()
+                if isinstance(trailer, dict) and trailer.get("Encrypt") is not None:
+                    raise PdfError("encrypted pdf")
+            except PdfError as exc:
+                if "encrypted" in str(exc):
+                    raise
         for value, _ in self.objects.values():
             if (
                 isinstance(value, dict)
@@ -583,11 +590,14 @@ class PdfDocument:
         if isinstance(tu, Ref) and tu.num in self.objects:
             try:
                 cmap_data = self.stream_bytes(tu.num)
-                mapping, code_bytes = parse_tounicode_cmap(cmap_data)
+                mapping, _cmap_bytes = parse_tounicode_cmap(cmap_data)
                 if mapping:
                     fi.to_unicode = mapping
-                    if fi.code_bytes == 1 and code_bytes == 2:
-                        fi.code_bytes = 2
+                # NOTE: the CMap's codespace does NOT change code_bytes:
+                # simple (Type1/TrueType) fonts always use 1-byte codes
+                # per spec, even when a generator emits a <0000><FFFF>
+                # codespace in the ToUnicode CMap; only /Subtype /Type0
+                # fonts decode 2-byte CIDs.
             except PdfError:
                 pass
         return fi

@@ -91,8 +91,12 @@ def _logical_order(parts_cells: list, parts_seps: list) -> tuple[list, list]:
     while i < len(cells):
         if cells[i].strip() and _is_ltr_cell(cells[i]):
             j = i
-            while j < len(cells) and cells[j].strip() and _is_ltr_cell(cells[j]):
+            # whitespace-only cells continue an LTR run (a space glyph
+            # between two latin words must not split the re-flip)
+            while j < len(cells) and _is_ltr_cell(cells[j]):
                 j += 1
+            while j > i and not cells[j - 1].strip():
+                j -= 1  # trailing space cells stay at the boundary
             out_cells.extend(cells[i:j][::-1])
             # separators inside the run reverse with it; the run's
             # trailing separator stays at the boundary
@@ -348,11 +352,16 @@ def classify_blocks(blocks: list[Block]) -> None:
                     b.level -= 1
 
 
-def assemble_doc(all_blocks: list[Block], name: str = "doc") -> Doc:
+def assemble_doc(
+    all_blocks: list[Block], name: str = "doc", classify: bool = True
+) -> Doc:
     """Blocks (already in per-page reading order, pages ascending) ->
     Doc IR. Runs doc-wide classification, so it must see ALL pages —
-    in the Spark paged path this is the post-shuffle kernel."""
-    classify_blocks(all_blocks)
+    in the Spark paged path this is the post-shuffle kernel. Pass
+    ``classify=False`` when the blocks were already classified
+    doc-wide (e.g. per-page slices of a classified document)."""
+    if classify:
+        classify_blocks(all_blocks)
     doc = Doc(name)
     for b in all_blocks:
         if b.kind == "title":
@@ -485,10 +494,10 @@ def resolve_overlapping_blocks(
                 uf.union(i, j)
         active.append(i)
 
-    out: list[Block] = []
+    out: list[tuple[int, Block]] = []  # (reading-order key, block)
     for group in uf.groups().values():
         if len(group) == 1:
-            out.append(blocks[group[0]])
+            out.append((group[0], blocks[group[0]]))
             continue
         members = sorted(group)  # reading order = creation order
         best = None
@@ -515,6 +524,7 @@ def resolve_overlapping_blocks(
         if best is None:
             best = members[0]
         bb = blocks[best]
+        order_key = members[0]
         texts, seen = [], set()
         for m in members:
             t = blocks[m].text
@@ -534,6 +544,9 @@ def resolve_overlapping_blocks(
             size=bb.size,
             parse_score=bb.parse_score,
         )
-        out.append(merged)
-    out.sort(key=lambda b: (b.page_no, b.t, b.l))
-    return out
+        out.append((order_key, merged))
+    # preserve the caller's reading order (page_blocks emits column-major
+    # order for two-column pages; a geometric re-sort would interleave
+    # the columns) — survivors keep their earliest member's position
+    out.sort(key=lambda kv: kv[0])
+    return [b for _, b in out]

@@ -273,7 +273,8 @@ def _find_right(sheet: _Sheet, start_row: int, start_col: int) -> int:
     return max_col
 
 
-def _find_tables(sheet: _Sheet) -> list[TableDataIR]:
+def _find_tables(sheet: _Sheet) -> list[tuple[int, int, TableDataIR]]:
+    """-> (anchor_row, anchor_col, table) per discovered table."""
     tables = []
     visited: set[tuple[int, int]] = set()
     for ri in range(sheet.max_row + 1):

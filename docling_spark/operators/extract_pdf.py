@@ -410,9 +410,11 @@ def _multimodal_rows_for_doc(url: str, content: bytes) -> list[dict]:
             (ix, b) for ix, b in enumerate(all_blocks) if b.page_no == page.page_no
         ]
         # per-page doc slice -> md/doctags (export.py main_text_start/stop);
-        # E3 provenance: assemble_doc emits one node per block in order,
-        # so node_id i carries block i's bbox -> real <loc_> tokens
-        page_doc = assemble_doc([b for _, b in page_items], name=url)
+        # classify=False: ranks were assigned doc-wide above — a
+        # page-local re-run would promote the page's largest heading to
+        # level 1 and disagree with the doc-level export. E3 provenance:
+        # one node per block in order, node_id i = block i's bbox.
+        page_doc = assemble_doc([b for _, b in page_items], name=url, classify=False)
         bboxes = {
             i: (b.l, b.t, b.r, b.b) for i, (_, b) in enumerate(page_items)
         }

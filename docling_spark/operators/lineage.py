@@ -35,17 +35,19 @@ def write_lineage(results: DataFrame, path: str, attempt: int = 0) -> None:
 
 
 def resume_filter(pages: DataFrame, spark: SparkSession, lineage_path: str) -> DataFrame:
-    """Drop pages already handled in a previous attempt.
+    """Drop pages already extracted successfully in a previous attempt.
 
-    Both ``success`` and ``skipped`` rows are terminal: retrying a
-    skipped page re-runs the limits gate with identical inputs and the
-    same outcome, so resume drops both (keeps lineage append-only
-    without per-attempt duplicate skip rows).
+    Only ``success`` is terminal: skipped pages are re-GATED on every
+    attempt (a length comparison — cheap) because the gate parameters
+    may change between attempts (e.g. a raised --limit-bytes must
+    un-skip previously oversized docs). Duplicate skip rows in lineage
+    are suppressed at append time (extract_job anti-joins new skips
+    against the recorded ones).
     """
     try:
         done = (
             spark.read.parquet(lineage_path)
-            .filter(F.col("status").isin("success", "skipped"))
+            .filter(F.col("status") == "success")
             .select("url")
             .distinct()
         )

@@ -68,9 +68,11 @@ def run(spark, args) -> dict:
     else:
         pages = spark.read.parquet(args.input)
 
-    # resume BEFORE the gate: lineage marks both 'success' and 'skipped'
-    # urls terminal, so a resumed attempt neither re-extracts nor
-    # re-gates (and never re-appends duplicate skip rows to lineage)
+    # resume BEFORE the gate: successfully-extracted urls never re-gate
+    # or re-extract. Previously-SKIPPED urls flow through on purpose:
+    # the gate is re-evaluated each attempt so changed parameters
+    # (e.g. a raised --limit-bytes) can un-skip them; duplicate skip
+    # lineage rows are suppressed at append time below.
     if args.resume:
         pages = resume_filter(pages, spark, args.lineage)
 
@@ -98,7 +100,8 @@ def run(spark, args) -> dict:
     if args.metrics:
         metrics_table(results).write.mode("append").parquet(args.metrics)
 
-    # skipped rows are lineage-recorded too so resume never retries them
+    # skipped rows are lineage-recorded once: new skips anti-join the
+    # already-recorded ones so repeated attempts do not grow the table
     n_skipped = skipped.count()
     if n_skipped:
         skipped_lineage = skipped.select(
@@ -108,6 +111,16 @@ def run(spark, args) -> dict:
             F.lit("skipped").alias("status"),
             F.current_timestamp().alias("batch_ts"),
         )
+        try:
+            already = (
+                spark.read.parquet(args.lineage)
+                .filter(F.col("status") == "skipped")
+                .select("url")
+                .distinct()
+            )
+            skipped_lineage = skipped_lineage.join(already, "url", "left_anti")
+        except Exception:  # noqa: BLE001 — no lineage yet
+            pass
         skipped_lineage.write.mode("append").parquet(args.lineage)
 
     n_fail = results.filter(F.col("status") == "failure").count()
