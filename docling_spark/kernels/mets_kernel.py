@@ -241,6 +241,7 @@ def parse_mets_gbs(data: bytes, max_pages: int | None = None):
                         r=c.r,
                         t=mp.height - c.t,
                         size=max(c.b - c.t, 1.0),
+                        from_ocr=True,  # hOCR-sourced (P12 provenance)
                     )
                 )
             pages.append(page)

@@ -40,9 +40,10 @@ to cell height, so line merging is insensitive to the approximation.
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 
 class PdfError(Exception):
@@ -864,6 +865,9 @@ class TextCell:
     r: float
     t: float
     size: float
+    # P12 provenance flag (reference TextCell.from_ocr,
+    # pypdfium2_backend.py:136-153 / base_ocr_model.py:115-171)
+    from_ocr: bool = False
 
 
 @dataclass
@@ -1115,3 +1119,46 @@ def ocr_decision(page: PdfPage) -> tuple[float, str]:
     if coverage > BITMAP_AREA_THRESHOLD:
         return coverage, "rects"
     return coverage, "none"
+
+
+def merge_ocr_cells(
+    programmatic: list[TextCell],
+    ocr_cells: list[TextCell],
+    force_full_page: bool = False,
+) -> list[TextCell]:
+    """P12: combine programmatic and OCR text cells for one page
+    (base_ocr_model.py:115-171 semantics): drop every OCR cell whose
+    bbox intersects ANY programmatic cell (the reference's R-tree
+    "weak criterion", closed intervals), keep programmatic cells
+    first, surviving OCR cells after; with force_full_page the OCR
+    cells replace the programmatic ones wholesale. List position is
+    the cell index (the reference re-indexes in the same order).
+
+    Pruning is a bisect on programmatic left edges plus a running
+    max-right prefix — per-page N is small (10^2..10^3) so this stays
+    kernel-local; no Spark shuffle is involved.
+    """
+    if force_full_page:
+        return [replace(c, from_ocr=True) for c in ocr_cells]
+    if not programmatic:
+        return [replace(c, from_ocr=True) for c in ocr_cells]
+    prog = sorted(programmatic, key=lambda c: c.l)
+    lefts = [c.l for c in prog]
+    max_r = []
+    running = float("-inf")
+    for c in prog:
+        running = max(running, c.r)
+        max_r.append(running)
+    out = list(programmatic)
+    for q in ocr_cells:
+        k = bisect.bisect_right(lefts, q.r)  # candidates with l <= q.r
+        hit = False
+        if k > 0 and max_r[k - 1] >= q.l:
+            lo, hi = min(q.b, q.t), max(q.b, q.t)
+            for c in prog[:k]:
+                if c.r >= q.l and min(c.b, c.t) <= hi and max(c.b, c.t) >= lo:
+                    hit = True
+                    break
+        if not hit:
+            out.append(replace(q, from_ocr=True))
+    return out

@@ -196,3 +196,50 @@ def test_mp3_metadata_from_real_fixture():
     assert meta["sample_rate"] == 44100
     assert 9.0 <= meta["duration_sec"] <= 11.5
     assert parse_mp3_header(b"\x00not audio at all") is None
+
+
+def test_merge_ocr_cells_drops_overlapping_ocr():
+    """P12 (base_ocr_model.py:115-171): OCR cells intersecting ANY
+    programmatic cell are dropped; survivors append after the
+    programmatic cells; force_full_page replaces them wholesale."""
+    from docling_spark.kernels.pdf_kernel import TextCell, merge_ocr_cells
+
+    prog = [
+        TextCell("alpha", 10, 700, 100, 712, 12),
+        TextCell("beta", 120, 700, 200, 712, 12),
+    ]
+    ocr = [
+        TextCell("ALPHA", 12, 702, 95, 710, 10),    # inside prog[0] -> drop
+        TextCell("edge", 100, 700, 118, 712, 10),   # touches prog[0].r (closed) -> drop
+        TextCell("below", 10, 650, 100, 662, 10),   # y-disjoint -> keep
+        TextCell("right", 220, 700, 300, 712, 10),  # x-disjoint -> keep
+    ]
+    out = merge_ocr_cells(prog, ocr)
+    assert [c.text for c in out] == ["alpha", "beta", "below", "right"]
+    assert [c.from_ocr for c in out] == [False, False, True, True]
+
+    # force_full_page: OCR wholesale, all flagged
+    out = merge_ocr_cells(prog, ocr, force_full_page=True)
+    assert [c.text for c in out] == ["ALPHA", "edge", "below", "right"]
+    assert all(c.from_ocr for c in out)
+
+    # no programmatic cells: every OCR cell survives, flagged
+    out = merge_ocr_cells([], ocr)
+    assert len(out) == 4 and all(c.from_ocr for c in out)
+
+    # order-independence of the prune: shuffled programmatic input
+    out2 = merge_ocr_cells(list(reversed(prog)), ocr)
+    assert sorted(c.text for c in out2) == sorted(c.text for c in out2)
+    assert {c.text for c in out2 if c.from_ocr} == {"below", "right"}
+
+
+def test_mets_cells_carry_from_ocr_flag():
+    import tarfile
+    fixture = "/root/reference/tests/data/mets_gbs/32044009881525_select.tar.gz"
+    if not tarfile.is_tarfile(fixture):
+        return
+    from docling_spark.kernels.mets_kernel import parse_mets_gbs
+
+    pages = parse_mets_gbs(open(fixture, "rb").read(), max_pages=1)
+    assert pages and pages[0].cells
+    assert all(c.from_ocr for c in pages[0].cells)
