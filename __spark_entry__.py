@@ -198,6 +198,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ch = chunks.chunk_pages(pages, mode="hybrid", max_tokens=128)
         return chunks.chunk_stats(ch)
 
+    def x_enrich_code(spark, sf_dir):
+        """V6 enrichment driver over the extracted corpus: code spans
+        -> heuristic language tag -> per-language rollup (explode ->
+        filter processable -> mapInPandas model -> re-join)."""
+        from docling_spark.operators import enrich
+
+        pages = synthesize_pages(spark, sf_dir)
+        res = extract.extract_pages(pages)
+        rel = enrich.enrich_code_language(res)
+        return (
+            rel.groupBy(F.col("enrichment").alias("language"))
+            .agg(F.count("*").alias("n_spans"))
+            .orderBy("language")
+        )
+
     def x_convert_mixed(spark, sf_dir):
         """S4 routing over a mixed html/pdf/csv corpus."""
         from pyspark.sql import functions as F
@@ -441,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_pages": x_multimodal_pages,
         "x_pdf_confidence": x_pdf_confidence,
         "x_chunks": x_chunks,
+        "x_enrich_code": x_enrich_code,
         "x_convert_mixed": x_convert_mixed,
         "q_csv_tables": q_csv_tables,
         "q_token_stats": q_token_stats,
