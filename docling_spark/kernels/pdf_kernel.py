@@ -1162,3 +1162,86 @@ def merge_ocr_cells(
         if not hit:
             out.append(replace(q, from_ocr=True))
     return out
+
+
+# ------------------------------------------------------ P5 rasterization
+
+
+def rasterize_page(
+    page: PdfPage,
+    scale: float = 1.0,
+    cropbox: tuple[float, float, float, float] | None = None,
+):
+    """P5: deterministic grayscale raster of a page's geometry
+    (pypdfium2_backend.py:327-361 semantics: optional TOPLEFT
+    ``cropbox`` (l, t, r, b), output size = round(crop_w x scale) by
+    round(crop_h x scale); the reference renders at 1.5x then resizes
+    for sharpness — rasterizing straight at the target grid is the
+    same image contract). No glyph rendering exists in this sandbox,
+    so ink is the geometry itself: text-cell boxes paint 0x30,
+    bitmap-XObject rects paint 0x80, background 0xFF — exactly the
+    mask the P10 OCR decision and layout debugging need.
+
+    Returns (width, height, numpy uint8 array of shape (h, w)).
+    """
+    import numpy as np
+
+    if cropbox is None:
+        cl, ct, cr, cb = 0.0, 0.0, page.width, page.height
+    else:
+        cl, ct, cr, cb = cropbox
+    w = max(int(round((cr - cl) * scale)), 1)
+    h = max(int(round((cb - ct) * scale)), 1)
+    img = np.full((h, w), 0xFF, dtype=np.uint8)
+
+    def paint(l, b, r, t, value):
+        # BOTTOMLEFT rect -> TOPLEFT pixel rows relative to the crop
+        x0 = int(np.floor((l - cl) * scale))
+        x1 = int(np.ceil((r - cl) * scale))
+        y0 = int(np.floor((page.height - t - ct) * scale))
+        y1 = int(np.ceil((page.height - b - ct) * scale))
+        x0, x1 = max(x0, 0), min(x1, w)
+        y0, y1 = max(y0, 0), min(y1, h)
+        if x0 < x1 and y0 < y1:
+            img[y0:y1, x0:x1] = value
+
+    for l, b, r, t in page.bitmap_rects:
+        paint(l, b, r, t, 0x80)
+    for c in page.cells:
+        paint(c.l, c.b, c.r, c.t, 0x30)
+    return w, h, img
+
+
+def encode_png_gray(img) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (stdlib zlib/struct; no
+    codec dependency). Filter type 0 per scanline."""
+    import struct
+
+    h, w = img.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, 8-bit
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def page_png(
+    page: PdfPage,
+    scale: float = 1.0,
+    cropbox: tuple[float, float, float, float] | None = None,
+) -> bytes:
+    """P5 surface used by the multimodal export: raster -> PNG bytes."""
+    _, _, img = rasterize_page(page, scale, cropbox)
+    return encode_png_gray(img)

@@ -30,6 +30,7 @@ import time
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -382,7 +383,18 @@ MULTIMODAL_PAGE_SCHEMA = StructType(
 )
 
 
-def _multimodal_rows_for_doc(url: str, content: bytes) -> list[dict]:
+MULTIMODAL_IMAGE_FIELDS = StructType(
+    [
+        StructField("page_image", BinaryType()),
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+    ]
+)
+
+
+def _multimodal_rows_for_doc(
+    url: str, content: bytes, image_scale: float | None = None
+) -> list[dict]:
     """Per-page (text, md, doctags, cells, segments) tuples — S8,
     reference utils/export.py:13-146 generate_multimodal_pages: cells
     and segment bboxes TOPLEFT-normalized to [0,1], per-page markdown
@@ -457,15 +469,39 @@ def _multimodal_rows_for_doc(url: str, content: bytes) -> list[dict]:
                 "segments": segments,
             }
         )
+        if image_scale is not None:
+            # P5: deterministic geometry raster (pdf_kernel.page_png),
+            # the reference attaches page.image here (export.py:107)
+            from docling_spark.kernels.pdf_kernel import (
+                encode_png_gray,
+                rasterize_page,
+            )
+
+            iw, ih, img = rasterize_page(page, scale=image_scale)
+            rows[-1]["page_image"] = encode_png_gray(img)
+            rows[-1]["img_width"] = iw
+            rows[-1]["img_height"] = ih
     return rows
 
 
 def multimodal_pages(
-    df: DataFrame, content_col: str = "content", num_partitions: int | None = None
+    df: DataFrame,
+    content_col: str = "content",
+    num_partitions: int | None = None,
+    image_scale: float | None = None,
 ) -> DataFrame:
     """(url, content) PDF corpus -> one multimodal training row per
-    page. Same single-exchange shape as extract_pdf_docs."""
+    page. Same single-exchange shape as extract_pdf_docs. With
+    ``image_scale`` set, each row also carries the P5 geometry raster
+    as PNG bytes (page_image, img_width, img_height) — the reference's
+    page.image tuple member (utils/export.py:107). Off by default:
+    image payloads multiply the shuffle/write volume, so only datasets
+    that train on pixels should pay for them."""
     import pandas as pd
+
+    schema = MULTIMODAL_PAGE_SCHEMA
+    if image_scale is not None:
+        schema = StructType(schema.fields + MULTIMODAL_IMAGE_FIELDS.fields)
 
     sel = df.select("url", content_col)
     if num_partitions is None:
@@ -481,13 +517,13 @@ def multimodal_pages(
                 try:
                     rows.extend(
                         _multimodal_rows_for_doc(
-                            url, bytes(content) if content is not None else b""
+                            url,
+                            bytes(content) if content is not None else b"",
+                            image_scale=image_scale,
                         )
                     )
                 except Exception:  # noqa: BLE001 — undecodable -> no rows
                     continue
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MULTIMODAL_PAGE_SCHEMA.fields]
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return sel.mapInPandas(run, MULTIMODAL_PAGE_SCHEMA)
+    return sel.mapInPandas(run, schema)

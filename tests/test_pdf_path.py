@@ -237,3 +237,61 @@ def test_overlap_resolution_unionfind():
     # overlap predicate sanity
     assert blocks_overlap(dup[0], dup[1])
     assert not blocks_overlap(cols[0], cols[1])
+
+
+def test_rasterize_page_geometry():
+    """P5 (pypdfium2_backend.py:327-361 contract): output size =
+    round(crop x scale); text cells paint 0x30, bitmap rects 0x80 over
+    a 0xFF background; cropbox is TOPLEFT (l, t, r, b)."""
+    from docling_spark.kernels.pdf_kernel import (
+        PdfPage,
+        TextCell,
+        encode_png_gray,
+        rasterize_page,
+    )
+
+    p = PdfPage(1, 100.0, 200.0)
+    p.cells.append(TextCell("x", 10, 150, 50, 160, 10))  # BOTTOMLEFT
+    p.bitmap_rects.append((0, 0, 100, 50))  # bottom quarter
+    w, h, img = rasterize_page(p, scale=1.0)
+    assert (w, h) == (100, 200) and img.shape == (200, 100)
+    assert img[0, 0] == 0xFF                      # background
+    assert img[45, 30] == 0x30                    # cell: TL y = 200-160..200-150
+    assert img[199, 50] == 0x80                   # bitmap at page bottom
+    # scale doubles the grid
+    w2, h2, img2 = rasterize_page(p, scale=2.0)
+    assert (w2, h2) == (200, 400) and img2[90, 60] == 0x30
+    # TOPLEFT crop excluding the cell region
+    wc, hc, imgc = rasterize_page(p, 1.0, cropbox=(0, 0, 100, 30))
+    assert (wc, hc) == (100, 30) and (imgc == 0xFF).all()
+    # PNG container is well-formed (signature, IHDR dims, IEND)
+    png = encode_png_gray(img)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    import struct
+    iw, ih = struct.unpack(">II", png[16:24])
+    assert (iw, ih) == (100, 200) and png.endswith(b"IEND\xaeB`\x82")
+    # decodes back losslessly: inflate IDAT, drop per-row filter bytes
+    import zlib
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[idat_start - 8 : idat_start - 4])[0]
+    raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+    assert len(raw) == 200 * 101
+    row0 = raw[1 : 101]
+    assert bytes(img[0].tobytes()) == row0
+
+
+def test_multimodal_pages_with_image(spark, pdf_corpus):
+    from docling_spark.operators.extract_pdf import multimodal_pages
+
+    mm = multimodal_pages(
+        pdf_corpus.limit(5), num_partitions=4, image_scale=0.5
+    )
+    rows = mm.collect()
+    assert rows
+    for r in rows:
+        assert bytes(r.page_image[:8]) == b"\x89PNG\r\n\x1a\n"
+        assert r.img_width == round(r.width * 0.5)
+        assert r.img_height == round(r.height * 0.5)
+    # default path keeps the lean schema (no image columns)
+    lean = multimodal_pages(pdf_corpus.limit(2), num_partitions=2)
+    assert "page_image" not in lean.columns
