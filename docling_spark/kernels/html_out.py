@@ -17,8 +17,11 @@ Inverse mapping of html_kernel's parse rules:
   levels) serialize transparently — re-parsing recreates them
 * list groups -> <ul> / <ol start=N> (the group name encodes order)
 * tables -> <table> with rowspan/colspan and <th> for column headers
-* furniture-layer content precedes the first heading, so layers
-  survive the round trip for ordinary documents
+* furniture-layer content precedes the first heading; later furniture
+  re-emits inside <footer> (its parse-time encoding), <details>
+  sections round-trip by tag, sub/sup scripts by <sub>/<sup>, and
+  image captions by figcaption / alt / ancestor-<a> — all 18 reference
+  HTML fixtures round-trip with identical node pools
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ from .doc_model import (
     LIST_ITEM,
     PARAGRAPH,
     PICTURE,
+    SCRIPT_SUB,
+    SCRIPT_SUPER,
     SECTION_HEADER,
     TABLE,
     TEXT,
@@ -52,6 +57,10 @@ def _inline(node: DocNode) -> str:
     """Text with formatting/hyperlink wrappers, innermost first."""
     out = _esc(node.text)
     f = node.formatting
+    if f is not None and f.script == SCRIPT_SUB:
+        out = f"<sub>{out}</sub>"
+    elif f is not None and f.script == SCRIPT_SUPER:
+        out = f"<sup>{out}</sup>"
     if f is not None:
         if f.bold:
             out = f"<b>{out}</b>"
@@ -107,13 +116,24 @@ def to_html(doc: Doc) -> str:
         if n.kind in (PICTURE, TABLE) and n.caption_id >= 0
     }
 
-    def walk(node: DocNode) -> None:
+    def walk(node: DocNode, in_footer: bool = False) -> None:
         nonlocal seen_body_heading
         # furniture BEFORE the first heading round-trips naturally (the
         # parser assigns the furniture layer to leading content); later
-        # furniture (e.g. page footers) has no visible-HTML encoding, so
-        # it is excluded — matching the markdown/body-content contract
-        if node.content_layer != BODY and seen_body_heading:
+        # furniture survives only inside a <footer> group (which IS its
+        # visible-HTML encoding) — anything else furniture is excluded,
+        # matching the markdown/body-content contract
+        if node.content_layer != BODY and seen_body_heading and not in_footer:
+            if not (
+                node.kind == GROUP
+                and node.group_label == "section"
+                and node.name == "footer"
+            ):
+                return
+            body.append("<footer>")
+            for cid in node.children:
+                walk(doc.nodes[cid], in_footer=True)
+            body.append("</footer>")
             return
         if node.kind in (TITLE, SECTION_HEADER) and node.content_layer == BODY:
             seen_body_heading = True
@@ -136,7 +156,7 @@ def to_html(doc: Doc) -> str:
         elif node.kind == LIST_ITEM:
             body.append(f"<li>{_inline(node)}")
             for cid in node.children:
-                walk(doc.nodes[cid])
+                walk(doc.nodes[cid], in_footer)
             body.append("</li>")
             return
         elif node.kind == TABLE:
@@ -147,11 +167,22 @@ def to_html(doc: Doc) -> str:
                 if cap.text:
                     body.append(f"<figcaption>{_inline(cap)}</figcaption>")
         elif node.kind == PICTURE:
+            cap = doc.nodes[node.caption_id] if node.caption_id >= 0 else None
+            if (
+                cap is not None
+                and cap.text == "Image Hyperlink."
+                and cap.hyperlink
+            ):
+                # inverse of the parser's ancestor-<a> rule (H9): an
+                # image inside a link captions itself "Image Hyperlink."
+                # with that href — re-emit the ancestor link, not a
+                # figcaption, so the reparse rebuilds the same caption
+                href = _html.escape(cap.hyperlink, quote=True)
+                body.append(f'<a href="{href}"><figure><img /></figure></a>')
+                return
             body.append("<figure><img />")
-            if node.caption_id >= 0:
-                cap = doc.nodes[node.caption_id]
-                if cap.text:
-                    body.append(f"<figcaption>{_inline(cap)}</figcaption>")
+            if cap is not None and cap.text:
+                body.append(f"<figcaption>{_inline(cap)}</figcaption>")
             body.append("</figure>")
         elif node.kind == GROUP:
             if node.group_label == "inline":
@@ -177,15 +208,48 @@ def to_html(doc: Doc) -> str:
                     child = doc.nodes[cid]
                     if child.kind == PICTURE:
                         # pictures hang off the list group in the parse;
-                        # an image-only <li> reparses to exactly that
-                        body.append("<li><img /></li>")
+                        # an image-only <li> reparses to exactly that —
+                        # the caption rides in alt (the parser derives
+                        # captions from alt outside <figure>)
+                        ccap = (
+                            doc.nodes[child.caption_id]
+                            if child.caption_id >= 0
+                            else None
+                        )
+                        if (
+                            ccap is not None
+                            and ccap.text == "Image Hyperlink."
+                            and ccap.hyperlink
+                        ):
+                            # ancestor-<a> inverse, like the figure case
+                            href = _html.escape(ccap.hyperlink, quote=True)
+                            body.append(
+                                f'<li><a href="{href}"><img /></a></li>'
+                            )
+                            continue
+                        alt = ""
+                        if ccap is not None and ccap.text:
+                            alt = (
+                                " alt="
+                                f'"{_html.escape(ccap.text, quote=True)}"'
+                            )
+                        body.append(f"<li><img{alt} /></li>")
                     else:
-                        walk(child)
+                        walk(child, in_footer)
                 body.append(f"</{tag}>")
+                return
+            if node.group_label == "section" and node.name == "details":
+                # a parsed <details> element (html_kernel._use_section
+                # _group keeps tag.name); heading-skip wrapper sections
+                # are named header-N and stay transparent
+                body.append("<details>")
+                for cid in node.children:
+                    walk(doc.nodes[cid], in_footer)
+                body.append("</details>")
                 return
             # section wrapper / inline groups serialize transparently
         for cid in node.children:
-            walk(doc.nodes[cid])
+            walk(doc.nodes[cid], in_footer)
 
     for cid in doc.body_children:
         walk(doc.nodes[cid])

@@ -40,7 +40,13 @@ def _pool(doc):
             n.content_layer,
             n.enumerated,
             n.hyperlink,
-            (n.formatting.bold, n.formatting.italic, n.formatting.underline)
+            (
+                n.formatting.bold,
+                n.formatting.italic,
+                n.formatting.underline,
+                n.formatting.strikethrough,
+                n.formatting.script,
+            )
             if n.formatting
             else None,
         )
@@ -55,16 +61,14 @@ def test_rich_roundtrip_identical_node_pool():
     assert to_markdown(d1) == to_markdown(d2)
 
 
-# Fixtures whose full node pool survives the round trip exactly.
-# example_06/example_09/formatting/wiki_duck carry shapes with no
-# visible-HTML encoding (img alt-text parts, furniture after the first
-# heading, sub/sup scripts) — those are covered by the idempotence and
-# markdown-level checks below.
+# Every reference HTML fixture round-trips with an identical node pool
+# (incl. <details> sections, <footer> furniture, sub/sup scripts,
+# alt-text and ancestor-link image captions).
 POOL_EXACT = [
     "example_01", "example_02", "example_03", "example_04", "example_05",
-    "example_07", "example_08", "html_code_snippets", "hyperlink_01",
-    "hyperlink_02", "hyperlink_03", "hyperlink_04", "hyperlink_05",
-    "unit_test_01",
+    "example_06", "example_07", "example_08", "example_09", "formatting",
+    "html_code_snippets", "hyperlink_01", "hyperlink_02", "hyperlink_03",
+    "hyperlink_04", "hyperlink_05", "unit_test_01", "wiki_duck",
 ]
 
 
@@ -86,7 +90,7 @@ def test_all_fixtures_roundtrip_md_and_idempotence():
         assert _pool(d2) == _pool(d3), f.name
         if to_markdown(d1) == to_markdown(d2):
             md_exact += 1
-    assert md_exact >= 17  # all but the img-alt-text fixture
+    assert md_exact == 18
 
 
 def test_serializes_docs_from_other_backends():
