@@ -232,6 +232,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mixed = html.unionByName(pdf).unionByName(csvs)
         return convert.conversion_rollup(convert.convert_any(mixed, num_partitions=16))
 
+    def x_convert_all(spark, sf_dir):
+        """S4 routing over EVERY backend the router dispatches: a crawl
+        table whose payload bytes are the reference's own fixtures for
+        all formats (document_converter.py:131-198 format map) —
+        html/pdf/csv/docx/xlsx/pptx/jats/uspto/mets-targz/md/asciidoc/
+        audio/image/docling-json. One executable witness per backend
+        family per round: every fmt must roll up with status=success."""
+        import glob as _glob
+        import os as _os
+
+        fix = "/root/reference/tests/data"
+        picks: list[tuple[str, str]] = []  # (glob, fmt_tag)
+        for pattern in (
+            "html/example_0*.html",
+            "pdf/code_and_formula.pdf",
+            "pdf/multi_page.pdf",
+            "csv/csv-comma.csv",
+            "csv/csv-tab.csv",
+            "docx/word_sample.docx",
+            "docx/unit_test_lists.docx",
+            "xlsx/test-01.xlsx",
+            "pptx/powerpoint_sample.pptx",
+            "jats/elife-56337.xml",
+            "jats/pntd.0008301.nxml",
+            "uspto/ipa20200022300.xml",
+            "uspto/ipg07997973.xml",
+            "mets_gbs/32044009881525_select.tar.gz",
+            "md/blocks.md",
+            "md/mixed.md",
+            "asciidoc/test_01.asciidoc",
+            "audio/sample_10s.mp3",
+            "2305.03393v1-pg9-img.png",
+            "webp/webp-test.webp",
+            "tiff/2206.01062.tif",
+            "groundtruth/docling_v2/example_02.html.json",
+        ):
+            picks.extend((p, pattern.split("/")[0]) for p in sorted(
+                _glob.glob(_os.path.join(fix, pattern))
+            ))
+        rows = []
+        for path, _tag in picks:
+            with open(path, "rb") as fh:
+                rows.append(
+                    (f"https://fixtures.example.com/{_os.path.relpath(path, fix)}",
+                     bytearray(fh.read()))
+                )
+        crawl = spark.createDataFrame(rows, "url string, html binary")
+        res = convert.convert_any(crawl, num_partitions=8)
+        return convert.conversion_rollup(res)
+
     # ---- SQL-expressible family (DuckDB-oracled) ----
     def q_token_stats(spark, sf_dir):
         return text_analysis.token_stats(_docs(spark, sf_dir))
@@ -458,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunks": x_chunks,
         "x_enrich_code": x_enrich_code,
         "x_convert_mixed": x_convert_mixed,
+        "x_convert_all": x_convert_all,
         "q_csv_tables": q_csv_tables,
         "q_token_stats": q_token_stats,
         "q_quality_rollup": q_quality_rollup,

@@ -318,20 +318,23 @@ class PdfDocument:
         """Encrypted files are an explicit typed failure, not garbled
         cells: /Encrypt appears in the trailer dict (classic xref) or
         the /Type /XRef stream dict (PDF 1.5+)."""
-        # only the LAST trailer is active (incremental updates append a
-        # new one; a decrypted-and-resaved file may carry a stale
-        # /Encrypt in a superseded trailer)
-        last = None
-        for tm in re.finditer(rb"trailer", self.data):
-            last = tm
-        if last is not None:
+        # only the LAST *parseable* trailer is active (incremental
+        # updates append a new one; a decrypted-and-resaved file may
+        # carry a stale /Encrypt in a superseded trailer). Compressed
+        # stream bytes can contain the literal b"trailer", so walk the
+        # matches from the end and take the first that actually parses
+        # as a dict — a raw-byte false positive must not shadow the
+        # real trailer and let /Encrypt go undetected.
+        matches = list(re.finditer(rb"trailer", self.data))
+        for tm in reversed(matches):
             try:
-                trailer = _Lexer(self.data, last.end()).parse_object()
-                if isinstance(trailer, dict) and trailer.get("Encrypt") is not None:
+                trailer = _Lexer(self.data, tm.end()).parse_object()
+            except PdfError:
+                continue
+            if isinstance(trailer, dict):
+                if trailer.get("Encrypt") is not None:
                     raise PdfError("encrypted pdf")
-            except PdfError as exc:
-                if "encrypted" in str(exc):
-                    raise
+                break
         for value, _ in self.objects.values():
             if (
                 isinstance(value, dict)

@@ -224,7 +224,15 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                 return
             ph = _ph_type(sp)
             shape_text = "\n".join(_para_text(p_el) for p_el in paragraphs).strip()
-            prov = make_prov(sp, shape_text)
+            _prov = make_prov(sp, shape_text)
+
+            def prov_copy(_p=_prov):
+                # fresh list+dicts per node: a shared mutable prov would
+                # let one node's in-place edit silently alter siblings
+                return [
+                    {**d, "bbox": dict(d["bbox"]), "charspan": list(d["charspan"])}
+                    for d in _p
+                ]
             list_group = None
             enum_value = 0
             for p_el in paragraphs:
@@ -244,10 +252,10 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                     doc.add_list_item(
                         p_text, enumerated=enumerated, marker=marker,
                         parent=list_group,
-                    ).prov = prov
+                    ).prov = prov_copy()
                 else:
                     if ph in ("title", "ctrTitle"):
-                        doc.add_title(p_text, parent=parent_slide).prov = prov
+                        doc.add_title(p_text, parent=parent_slide).prov = prov_copy()
                     # NOTE: subTitle stays a paragraph — the reference's
                     # branch (mspowerpoint_backend.py:200-201) evaluates
                     # DocItemLabel.SECTION_HEADER without assigning it,
@@ -255,7 +263,7 @@ def parse_pptx(data: bytes, name: str = "doc") -> Doc:
                     else:
                         doc.add_text(
                             label="paragraph", text=p_text, parent=parent_slide
-                        ).prov = prov
+                        ).prov = prov_copy()
 
         def handle_shape(sp) -> None:
             tag = sp.tag

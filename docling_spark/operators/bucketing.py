@@ -37,15 +37,25 @@ def write_bucketed(
 
 
 def resume_anti_join(
-    spark: SparkSession, pages_table: str, lineage_table: str, key: str = "url"
+    spark: SparkSession,
+    pages_table: str,
+    lineage_table: str,
+    key: str = "url",
+    terminal_statuses: tuple[str, ...] = ("success",),
 ) -> DataFrame:
     """Pages not yet terminal in lineage — the bucketed twin of
     lineage.resume_filter. With both tables bucketed on ``key`` this
-    plans as a co-located SortMergeJoin(LeftAnti) with no Exchange."""
+    plans as a co-located SortMergeJoin(LeftAnti) with no Exchange.
+
+    Only 'success' is terminal by default, matching resume_filter:
+    previously-skipped documents (e.g. over a since-raised size limit)
+    must be re-gated on each attempt, not permanently excluded. Pass a
+    wider ``terminal_statuses`` explicitly if skips should stick."""
     pages = spark.table(pages_table)
+    quoted = ", ".join("'%s'" % s.replace("'", "''") for s in terminal_statuses)
     done = (
         spark.table(lineage_table)
-        .filter("status in ('success', 'skipped')")
+        .filter("status in (%s)" % quoted)
         .select(key)
     )
     return pages.join(done, on=key, how="left_anti")

@@ -50,6 +50,33 @@ CONVERT_SCHEMA = StructType(
 
 _KERNEL_RECURSION_LIMIT = 20000
 
+# URL-extension hints for text-family formats the byte sniffer cannot
+# tell apart (a .md file with inline HTML sniffs as html; quoted CSVs
+# as text). The reference's _guess_format consults the file extension
+# the same way (document.py:280-338 extension map); the hint only ever
+# overrides ambiguous TEXT-FAMILY sniffs — magic-byte formats (pdf,
+# zip, image, audio) are authoritative from content.
+_EXT_HINTS = {
+    ".md": "md",
+    ".markdown": "md",
+    ".csv": "csv",
+    ".tsv": "csv",
+    ".adoc": "asciidoc",
+    ".asciidoc": "asciidoc",
+    ".txt": "text",
+    ".html": "html",
+    ".htm": "html",
+    ".xhtml": "html",
+}
+_TEXT_FAMILY = {"text", "html", "csv", "xml"}
+
+
+def _ext_of(url: str) -> str:
+    path = url.split("?", 1)[0].split("#", 1)[0]
+    dot = path.rfind(".")
+    slash = path.rfind("/")
+    return path[dot:].lower() if dot > slash else ""
+
 
 def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
     """Route one document through the matching kernel; never raises."""
@@ -70,6 +97,10 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
     t0 = time.perf_counter()
     payload = payload or b""
     fmt = sniff_format(payload[:8192])
+    if fmt in _TEXT_FAMILY:
+        hint = _EXT_HINTS.get(_ext_of(url))
+        if hint is not None and hint != "text":
+            fmt = hint
     base = {
         "url": url,
         "fmt": fmt,
@@ -155,10 +186,45 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
                 }
         elif fmt == "csv":
             doc = parse_csv(payload, name=url)
-        elif fmt == "text":
+        elif fmt == "json_docling":
+            # B10: lossless DoclingDocument JSON -> node pool -> re-export
+            import json as _json
+
+            from docling_spark.kernels.docjson import doc_from_dict
+
+            doc = doc_from_dict(_json.loads(payload.decode("utf-8")))
+        elif fmt == "audio":
+            # B11 NoOp/audio: no ASR runtime in this sandbox, so the text
+            # layer is empty by design (the reference's _NoOpBackend also
+            # emits an empty doc and relies on the ASR pipeline to fill
+            # it, docling/backend/noop_backend.py). Success requires the
+            # container headers to actually parse — a corrupt payload is
+            # a failure row, not a silent empty success.
+            from docling_spark.operators.multimodal import (
+                parse_mp3_header,
+                parse_wav_header,
+            )
+
+            meta = parse_wav_header(payload) or parse_mp3_header(payload)
+            if meta is None:
+                return {
+                    **base,
+                    "status": "failure",
+                    "error": "unparseable audio container",
+                    "md": None,
+                    "txt": None,
+                    "n_nodes": 0,
+                    "t_sec": time.perf_counter() - t0,
+                }
+            from docling_spark.kernels.doc_model import Doc
+
+            doc = Doc(url)
+        elif fmt in ("text", "md", "asciidoc"):
             # plain text, markdown, or asciidoc (title/section markers)
             head = payload[:2048].decode("utf-8", errors="replace")
-            if head.startswith("= ") or "\n== " in head:
+            if fmt == "asciidoc" or (
+                fmt == "text" and (head.startswith("= ") or "\n== " in head)
+            ):
                 from docling_spark.kernels.asciidoc_kernel import parse_asciidoc
 
                 base["fmt"] = "asciidoc"

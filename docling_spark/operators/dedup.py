@@ -219,18 +219,50 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Manku-style multi-block tables (Manku, Jain & Das Sarma, WWW'07
+# "Detecting Near-Duplicates for Web Crawling" §3): split the 64-bit
+# simhash into 5 blocks (13,13,13,13,12 bits); a pair at Hamming
+# distance <= 3 dirties at most 3 blocks, so at least C(5,2)-style
+# 2 blocks stay clean — enumerate all C(5,2)=10 block pairs as tables
+# and key each table on the CONCATENATION of its two blocks (~26-bit
+# key). At 10^10 docs each table has ~2^26 buckets -> ~150 docs/bucket,
+# vs the old single-block 16-bit keys whose 65,536 buckets each held
+# ~150k docs and made the within-bucket self-join quadratic. Recall for
+# Hamming <= 3 is still guaranteed; the exact-Hamming verify after the
+# equi-join is unchanged, so the output pair set is identical.
+_SIMHASH_BLOCKS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+_SIMHASH_TABLES = [
+    (i, j)
+    for i in range(len(_SIMHASH_BLOCKS))
+    for j in range(i + 1, len(_SIMHASH_BLOCKS))
+]
+
+
+def _simhash_table_keys() -> list[str]:
+    """One ~26-bit key expression per (block_i, block_j) table."""
+    keys = []
+    for i, j in _SIMHASH_TABLES:
+        oi, wi = _SIMHASH_BLOCKS[i]
+        oj, wj = _SIMHASH_BLOCKS[j]
+        keys.append(
+            f"(((simhash >> {oi}) & {(1 << wi) - 1}) << 14)"
+            f" | ((simhash >> {oj}) & {(1 << wj) - 1})"
+        )
+    return keys
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Near-dup candidates: equal 16-bit band in any of 4 bands
-    (guarantees recall for Hamming distance <= 3)."""
+    """Near-dup pairs at Hamming distance <= 3: candidates from 10
+    Manku block-pair tables (wide ~26-bit keys, bounded buckets at
+    corpus scale), then exact Hamming verify on the equi-join."""
     sh = simhash(df, text_col)
+    keys = _simhash_table_keys()
     bands = sh.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535)"
-            )
-        ).alias("band_id", "band_val"),
+        F.posexplode(F.array(*[F.expr(k) for k in keys])).alias(
+            "band_id", "band_val"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -341,6 +341,8 @@ def confidence_rollup(page_rows: DataFrame) -> DataFrame:
 MULTIMODAL_PAGE_SCHEMA = StructType(
     [
         StructField("url", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
         StructField("page_no", IntegerType()),
         StructField("width", DoubleType()),
         StructField("height", DoubleType()),
@@ -457,6 +459,8 @@ def _multimodal_rows_for_doc(
         rows.append(
             {
                 "url": url,
+                "status": "success",
+                "error": None,
                 "page_no": page.page_no,
                 "width": w,
                 "height": h,
@@ -522,8 +526,25 @@ def multimodal_pages(
                             image_scale=image_scale,
                         )
                     )
-                except Exception:  # noqa: BLE001 — undecodable -> no rows
-                    continue
+                except Exception as e:  # noqa: BLE001 — errors become data
+                    # one failure row per doc so drops stay visible to
+                    # lineage/audit (same contract as convert/extract)
+                    fail = {
+                        "url": url,
+                        "status": "failure",
+                        "error": f"{type(e).__name__}: {e}"[:500],
+                        "page_no": 0,
+                        "width": 0.0,
+                        "height": 0.0,
+                        "text": None,
+                        "md": None,
+                        "doctags": None,
+                        "cells": [],
+                        "segments": [],
+                    }
+                    if image_scale is not None:
+                        fail.update(page_image=None, img_width=0, img_height=0)
+                    rows.append(fail)
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return sel.mapInPandas(run, schema)

@@ -32,13 +32,15 @@ _MAGICS = {
 
 def _is_uspto(probe_lower: bytes) -> bool:
     """USPTO doctype keys across the four DTD generations
-    (reference dispatch: uspto_backend.py:87-104)."""
+    (reference dispatch: uspto_backend.py:87-104). Deliberately no
+    bare b"uspto" substring fallback: an HTML/JATS page merely
+    *mentioning* USPTO must not be routed to the patent parser (which
+    would turn an extractable page into a failure row)."""
     return (
         b"us-patent-application" in probe_lower
         or b"us-patent-grant" in probe_lower
         or b"us-grant-025" in probe_lower
         or (b"patent-application-publication" in probe_lower and b"pap-v1" in probe_lower)
-        or b"uspto" in probe_lower
     )
 
 
@@ -52,6 +54,16 @@ def sniff_format(head: bytes) -> str:
         return "xml_uspto"  # APS key/value grants (1976-2001)
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         return "image"
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "audio"
+    if head.startswith(b"ID3") or (
+        len(head) >= 3
+        and head[0] == 0xFF
+        and (head[1] & 0xE0) == 0xE0
+        and not head.startswith(b"\xff\xfe")  # not a UTF-16LE BOM
+        and (head[2] >> 4) not in (0x0, 0xF)  # plausible MPEG bitrate index
+    ):
+        return "audio"  # MP3: ID3v2 tag or MPEG frame sync (11 set bits)
     for magic, fmt in _MAGICS.items():
         if head.startswith(magic):
             return fmt
@@ -83,18 +95,31 @@ def sniff_format(head: bytes) -> str:
         if b"jats" in probe.lower() or b"<article" in probe.lower():
             return "xml_jats"
         return "xml"
-    # CSV shape heuristic: >= 2 lines with a consistent delimiter count
+    if ls.startswith(b"{") and b'"schema_name"' in probe and b"DoclingDocument" in probe:
+        return "json_docling"
+    # CSV shape heuristic (reference: csv.Sniffer, document.py:439-466):
+    # >= 2 lines whose QUOTE-AWARE parse yields a consistent field count
+    # — raw delimiter counting breaks on quoted cells ("Lozano, Dr")
     try:
         text = probe.decode("utf-8", errors="strict")
-        lines = [ln for ln in text.splitlines() if ln.strip()][:10]
-        if len(lines) >= 2:
-            for delim in (",", ";", "\t", "|"):
-                counts = [ln.count(delim) for ln in lines]
-                if counts[0] > 0 and len(set(counts)) == 1:
-                    return "csv"
-        return "text"
     except UnicodeDecodeError:
         return "binary"
+    lines = [ln for ln in text.splitlines() if ln.strip()][:10]
+    if len(lines) >= 2:
+        import csv as _csv
+        import io as _io
+
+        # drop a possibly-truncated last line (probe is an 8 KB prefix)
+        sample = lines[:-1] if len(lines) > 2 else lines
+        for delim in (",", ";", "\t", "|"):
+            try:
+                parsed = list(_csv.reader(_io.StringIO("\n".join(sample)), delimiter=delim))
+            except _csv.Error:
+                continue
+            counts = {len(r) for r in parsed}
+            if len(counts) == 1 and counts.pop() >= 2:
+                return "csv"
+    return "text"
 
 
 def office_subformat(payload: bytes) -> str:

@@ -225,3 +225,58 @@ def test_csv_json_structurally_identical(name):
     doc = parse_csv(raw, name=name.rsplit(".", 1)[0])
     mine = export_to_dict(doc, filename=name, raw=raw, mimetype="text/csv")
     assert mine == json.loads(gt_p.read_text())
+
+
+# --------------------------------------------- S4 full-router coverage
+
+
+FIXTURE_ROOT = _pl.Path("/root/reference/tests/data")
+
+# (relative fixture path, fmt the router must report)
+ALL_FORMAT_FIXTURES = [
+    ("html/example_02.html", "html"),
+    ("pdf/code_and_formula.pdf", "pdf"),
+    ("csv/csv-comma.csv", "csv"),           # quoted-comma cells
+    ("csv/csv-tab.csv", "csv"),
+    ("docx/word_sample.docx", "docx"),
+    ("xlsx/test-01.xlsx", "xlsx"),
+    ("pptx/powerpoint_sample.pptx", "pptx"),
+    ("jats/elife-56337.xml", "xml_jats"),
+    ("uspto/ipa20200022300.xml", "xml_uspto"),
+    ("mets_gbs/32044009881525_select.tar.gz", "mets_gbs"),
+    ("md/blocks.md", "md"),
+    ("md/mixed.md", "md"),                  # inline HTML; ext hint wins
+    ("asciidoc/test_01.asciidoc", "asciidoc"),
+    ("audio/sample_10s.mp3", "audio"),
+    ("2305.03393v1-pg9-img.png", "image"),
+    ("webp/webp-test.webp", "image"),
+    ("tiff/2206.01062.tif", "image"),
+    ("groundtruth/docling_v2/example_02.html.json", "json_docling"),
+]
+
+
+@pytest.mark.parametrize("rel,fmt", ALL_FORMAT_FIXTURES)
+def test_convert_one_covers_every_backend(rel, fmt):
+    """Every routed backend family converts its reference fixture with
+    status=success (document_converter.py:131-198 format map). This is
+    the unit twin of the x_convert_all queries() entry."""
+    path = FIXTURE_ROOT / rel
+    if not path.exists():
+        pytest.skip(f"fixture missing: {rel}")
+    row = convert_one(f"https://fixtures.example.com/{rel}", path.read_bytes())
+    assert (row["fmt"], row["status"]) == (fmt, "success"), row["error"]
+    # text-bearing formats must actually extract content
+    if fmt not in ("audio", "image"):
+        assert row["n_nodes"] > 0
+
+
+def test_ext_hint_only_disambiguates_text_family():
+    # magic bytes are authoritative: a PDF served at a .md url is a PDF
+    from docling_spark.sources.pdfgen import render_doc_pdf
+
+    row = convert_one("https://x.example.com/file.md", render_doc_pdf(1, "alpha beta"))
+    assert row["fmt"] == "pdf"
+    # but a markdown doc with inline HTML at .md routes as markdown
+    md = b"# Title\n\nSome <b>bold</b> inline html.\n"
+    row2 = convert_one("https://x.example.com/file.md", md)
+    assert (row2["fmt"], row2["status"]) == ("md", "success")

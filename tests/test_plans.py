@@ -138,3 +138,71 @@ def test_bucketed_resume_anti_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bt_pages")
         spark.sql("DROP TABLE IF EXISTS bt_lineage")
+
+
+# --------------------------------------------------- SimHash scale shape
+
+
+def _simhash_corpus(spark):
+    """Docs with deterministic token sets: doc 3k+1 is a 1-token edit of
+    doc 3k (Hamming-near simhash), doc 3k+2 is disjoint vocabulary."""
+    rows = []
+    for g in range(40):
+        base = [f"tok{g}_{t}" for t in range(30)]
+        near = base[:-1] + [f"tok{g}_EDIT"]
+        far = [f"other{g}_{t}" for t in range(30)]
+        rows.append((3 * g, " ".join(base)))
+        rows.append((3 * g + 1, " ".join(near)))
+        rows.append((3 * g + 2, " ".join(far)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_pairs_match_brute_force(spark):
+    """The Manku block-pair tables return EXACTLY the brute-force
+    Hamming<=3 pair set (recall is guaranteed by construction: <=3
+    dirty bits touch <=3 of 5 blocks, leaving a clean block pair that
+    some table keys on)."""
+    from itertools import combinations
+
+    from docling_spark.operators import dedup
+
+    corpus = _simhash_corpus(spark)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_pairs(corpus).collect()
+    }
+    hashes = {r.doc_id: r.simhash for r in dedup.simhash(corpus).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_simhash_bucket_occupancy_bounded(spark):
+    """Scale shape: table keys are ~26-bit concatenations of TWO
+    blocks, not one 16-bit block — on a corpus of distinct docs no
+    (table, key) bucket collapses a large fraction of the corpus, and
+    the key space per table is >= 2^25."""
+    from docling_spark.operators import dedup
+
+    # key width by construction: every table concatenates two blocks
+    assert len(dedup._SIMHASH_TABLES) == 10
+    for expr_ in dedup._simhash_table_keys():
+        assert "<< 14" in expr_  # two-block concatenation, >= 25 bits
+    corpus = _simhash_corpus(spark)
+    sh = dedup.simhash(corpus)
+    from pyspark.sql import functions as F
+
+    bands = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(k) for k in dedup._simhash_table_keys()])
+        ).alias("band_id", "band_val"),
+    )
+    occ = bands.groupBy("band_id", "band_val").count()
+    max_occ = occ.agg(F.max("count")).collect()[0][0]
+    # only true near-dup clusters may share a 26-bit key; the corpus
+    # has pairs, so the bound is small, never a corpus-fraction bucket
+    assert max_occ <= 4
