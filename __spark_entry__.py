@@ -117,11 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_near_pairs(_docs(spark, sf_dir))
 
     def x_lsh_topk(spark, sf_dir):
-        # 8 tables x 6 bits + Hamming-1 multi-probe: measured recall@10
-        # 0.8 vs brute force on the synthetic corpus (tests pin >= 0.6);
-        # at corpus scale raise n_bits to keep buckets bounded
+        # 8 tables + Hamming-1 multi-probe; n_bits derived from the
+        # corpus count so each probed bucket stays ~64 vectors at EVERY
+        # scale (6 bits at 10^3 vectors, 27 at 10^10) — the registered
+        # entry is the production shape, not a test-scale constant.
+        # Recall@10 >= 0.6 pinned by tests/test_plans.py.
+        emb = _emb(spark, sf_dir)
+        n_bits = similarity.auto_n_bits(emb.count())
         return similarity.lsh_topk(
-            _emb(spark, sf_dir), ANN_QUERY_IDS, k=10, n_bits=6, n_tables=8
+            emb, ANN_QUERY_IDS, k=10, n_bits=n_bits, n_tables=8
         )
 
     def x_media_rollup(spark, sf_dir):

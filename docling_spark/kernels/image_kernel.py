@@ -24,11 +24,18 @@ class ImageError(Exception):
     pass
 
 
-def decode_pixels(payload: bytes):  # pragma: no cover - explicit stub
-    """STUB: raster decode needs an image codec (PIL/libtiff/libwebp),
-    none of which exist in this sandbox. The PDF-path plumbing above it
-    (frames, geometry, bitmap rects, OCR decision) is real and tested."""
-    raise NotImplementedError("no image codec in this environment")
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(w, h, channels, 8-bit samples) for PNG and GIF via the stdlib
+    decoders in kernels/raster.py (zlib inflate + unfilter; LZW).
+
+    JPEG/WebP/TIFF-compressed remain an explicit stub: their entropy
+    coders need a codec library this sandbox does not have."""
+    head = payload[:8]
+    if head == b"\x89PNG\r\n\x1a\n" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .raster import decode_image
+
+        return decode_image(payload)
+    raise NotImplementedError("no stdlib decoder for this format (jpeg/webp/tiff)")
 
 
 def _tiff_frames(data: bytes) -> list[tuple[int, int]]:

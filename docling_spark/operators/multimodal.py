@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride along as ``binary`` columns with a typed
-metadata struct. The Spark side — schema, partitioning, Arrow batch
-shape, mapInPandas signatures — is real and tested; the actual codec
-calls are STUBBED behind ``_decode_image_stub`` (this container has no
-image/audio libraries) with a deterministic fake so tests can assert
-the plumbing end-to-end. Swap the stub for PIL/libvips/ffmpeg on a real
-cluster without touching the Spark plan.
+metadata struct. PNG and GIF payloads are decoded FOR REAL by the
+stdlib decoders in kernels/raster.py (zlib inflate + unfilter; LZW)
+and yield true dimensions + luminance grid features; JPEG/WebP/video
+fall back to ``_decode_image_stub`` (their codecs don't exist in this
+container) and are flagged ``decoded = false`` so every downstream
+rollup distinguishes measured features from placeholders. Swap the
+stub for PIL/libvips/ffmpeg on a real cluster without touching the
+Spark plan.
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -46,12 +49,16 @@ FEATURE_SCHEMA = StructType(
         StructField("n_frames", IntegerType()),
         StructField("feature", ArrayType(DoubleType())),
         StructField("sha1", StringType()),
+        # true iff the pixels were actually decoded (PNG/GIF stdlib
+        # path); false = placeholder features from the codec stub
+        StructField("decoded", BooleanType()),
     ]
 )
 
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"GIF8": "image/gif",
     b"RIFF": "audio/wav",
     b"\x1aE\xdf\xa3": "video/webm",
 }
@@ -64,25 +71,56 @@ def sniff_mime(payload: bytes) -> str:
     return "application/octet-stream"
 
 
+def _synth_payload(i: int) -> tuple[str, bytes]:
+    """(kind, payload) for media_id i: REAL PNG (i%4==0), REAL WAV
+    (i%4==1), fake webm (i%4==2, no stdlib video container), REAL GIF
+    (i%4==3). Image/audio payloads are valid files the real decoders
+    parse; only video (and the jpeg/webp crawl formats) stub."""
+    if i % 4 == 0:  # real 8-bit gray PNG, deterministic gradient
+        import numpy as np
+
+        from docling_spark.kernels.pdf_kernel import encode_png_gray
+
+        w, h = 48 + i % 64, 32 + i % 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((xx * 3 + yy * 5 + i) % 256).astype(np.uint8)
+        return "image", encode_png_gray(img)
+    if i % 4 == 1:  # real PCM WAV, 100 ms of deterministic samples
+        rate, nsamp = 8000, 800
+        body = bytes((i * 7 + s * 13) % 256 for s in range(nsamp))
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
+        data = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", nsamp) + body
+        )
+        return "audio", b"RIFF" + struct.pack("<I", len(data)) + data
+    if i % 4 == 2:  # fake webm (no stdlib video demuxer)
+        body = hashlib.sha256(struct.pack("<q", i)).digest() * (4 + i % 8)
+        return "video", b"\x1aE\xdf\xa3" + body
+    # real gray GIF via the raster encoder
+    from docling_spark.kernels.raster import encode_gif_gray
+
+    w, h = 40 + i % 32, 24 + i % 24
+    plane = bytes((x * 5 + y * 11 + i) % 256 for y in range(h) for x in range(w))
+    return "image", encode_gif_gray(w, h, plane)
+
+
 def synth_media(spark, n: int = 256) -> DataFrame:
-    """Deterministic fake media corpus (stands in for a real image/audio
-    table; payload bytes are reproducible functions of media_id)."""
-    kinds = ["image", "audio", "video", "image"]
-    magics = [b"\x89PNG", b"RIFF", b"\x1aE\xdf\xa3", b"\xff\xd8\xff"]
+    """Deterministic media corpus: REAL PNG/GIF/WAV payloads (decoded
+    for real downstream) + fake video bytes (stub path)."""
 
     def gen(batches):
         import pandas as pd
 
         for pdf in batches:
-            ids = pdf["id"].tolist()
             rows = []
-            for i in ids:
-                body = hashlib.sha256(struct.pack("<q", i)).digest() * (4 + i % 8)
-                payload = magics[i % 4] + body
+            for i in pdf["id"].tolist():
+                kind, payload = _synth_payload(i)
                 rows.append(
                     {
                         "media_id": i,
-                        "kind": kinds[i % 4],
+                        "kind": kind,
                         "payload": payload,
                         "mime": sniff_mime(payload),
                         "n_bytes": len(payload),
@@ -94,11 +132,12 @@ def synth_media(spark, n: int = 256) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB: stands in for PIL.Image.open + resize + feature extraction.
+    """STUB: stands in for a codec this container lacks (JPEG/WebP
+    entropy decode, video demux).
 
-    Deterministic fake: dimensions and a 8-dim 'embedding' derived from
-    the payload digest. Replace with a real codec on a cluster; the
-    signature (bytes in, (w, h, feature) out) is the contract.
+    Deterministic fake: dimensions and an 8-dim 'embedding' derived
+    from the payload digest. Rows produced this way carry
+    ``decoded = false`` so no rollup mistakes them for measurements.
     """
     d = hashlib.sha1(payload).digest()
     w = 64 + d[0] % 192
@@ -107,13 +146,41 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, feat
 
 
+def _grid_feature_np(w: int, h: int, channels: int, samples: bytes) -> list[float]:
+    """2x4 grid-mean luminance (numpy-vectorized twin of
+    kernels.raster.image_features for the Arrow batch hot path)."""
+    import numpy as np
+
+    a = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, channels)
+    if channels >= 3:
+        lum = (
+            0.299 * a[:, :, 0].astype(np.float32)
+            + 0.587 * a[:, :, 1]
+            + 0.114 * a[:, :, 2]
+        )
+    else:
+        lum = a[:, :, 0].astype(np.float32)
+    feat = []
+    for gy in range(2):
+        for gx in range(4):
+            block = lum[
+                h * gy // 2 : max(h * (gy + 1) // 2, h * gy // 2 + 1),
+                w * gx // 4 : max(w * (gx + 1) // 4, w * gx // 4 + 1),
+            ]
+            feat.append(round(float(block.mean()) / 255.0, 6))
+    return feat
+
+
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches: the real plan
     shape for decode/resize/frame-sample at scale (one Python worker per
-    core, payload bytes never hit the driver)."""
+    core, payload bytes never hit the driver). PNG/GIF decode for real;
+    everything else falls back to the stub with ``decoded = false``."""
 
     def run(batches):
         import pandas as pd
+
+        from docling_spark.kernels.raster import RasterError, decode_image
 
         for pdf in batches:
             rows = []
@@ -121,7 +188,13 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                w, h, feat = _decode_image_stub(payload)
+                decoded = False
+                try:
+                    w, h, ch, samples = decode_image(payload)
+                    feat = _grid_feature_np(w, h, ch, samples)
+                    decoded = True
+                except (RasterError, ValueError):
+                    w, h, feat = _decode_image_stub(payload)
                 rows.append(
                     {
                         "media_id": mid,
@@ -132,6 +205,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         "n_frames": (1 if kind == "image" else 1 + int(w) % 16),
                         "feature": feat,
                         "sha1": hashlib.sha1(payload).hexdigest(),
+                        "decoded": decoded,
                     }
                 )
             yield pd.DataFrame(rows)
@@ -143,14 +217,17 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 
 
 def media_rollup(features: DataFrame) -> DataFrame:
+    """Per-(kind, decoded) accounting: rows with decoded=false carry
+    stub placeholders, never measurements — the split keeps them
+    visibly apart in every audit."""
     return (
-        features.groupBy("kind")
+        features.groupBy("kind", "decoded")
         .agg(
             F.count("*").alias("n_media"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(F.avg("width"), 4).alias("avg_width"),
         )
-        .orderBy("kind")
+        .orderBy("kind", "decoded")
     )
 
 

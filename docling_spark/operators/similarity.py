@@ -120,6 +120,23 @@ def hyperplane_lsh_bands(
     )
 
 
+def auto_n_bits(n_vectors: int, target_bucket: int = 64, floor: int = 6) -> int:
+    """Size the per-table signature so expected bucket occupancy is
+    ~``target_bucket`` vectors: n_bits = log2(n / target_bucket).
+
+    This is what makes an lsh_topk registration scale-honest: a fixed
+    n_bits=6 (64 buckets/table) means every probe scans ~1/64 of the
+    corpus — fine at 10^3 vectors, a quarter-billion-row scan per probe
+    at 10^10. Deriving bits from the corpus count keeps each probed
+    bucket bounded (~target_bucket rows) at every scale: 10^3 vectors
+    -> 6 bits, 10^6 -> 14, 10^10 -> 27."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def lsh_topk(
     df: DataFrame,
     query_ids: list[int],

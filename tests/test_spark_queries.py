@@ -112,3 +112,41 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     for r in approx:
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert abs(r.cos_sim - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-6
+
+
+def test_lsh_topk_registration_is_scale_honest(spark):
+    """The registered x_lsh_topk derives n_bits from the corpus count
+    (auto_n_bits) so a probed bucket holds ~target_bucket vectors at
+    any corpus size — never a fixed fraction of the corpus."""
+    from docling_spark.operators import similarity
+
+    # sizing function: expected occupancy n / 2^bits <= 2*target
+    for n in (1_000, 100_000, 10_000_000, 10_000_000_000):
+        bits = similarity.auto_n_bits(n, target_bucket=64)
+        assert n / (1 << bits) <= 128, (n, bits)
+    assert similarity.auto_n_bits(10_000_000_000) >= 27
+
+    # empirical occupancy at test scale: max bucket a probe can touch
+    # is a bounded handful of rows, not a corpus fraction
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    bits = similarity.auto_n_bits(n)
+    bands = similarity.hyperplane_lsh_bands(emb, n_bands=8, bits_per_band=bits)
+    occ = bands.groupBy("band_id", "band_val").count()
+    max_occ = occ.agg(F.max("count")).collect()[0][0]
+    assert max_occ <= max(4 * 64, n // 4), max_occ
+
+    # the registered entry still meets the recall floor with auto bits
+    import __spark_entry__ as entry
+
+    approx = entry.queries()["x_lsh_topk"](spark, "/root/testdata/sf0.001").collect()
+    exact = similarity.brute_force_topk(emb, [0, 1, 2, 3, 4], k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set())
+    )
+    assert hits / 50 >= 0.6, f"recall collapsed: {hits / 50}"
