@@ -30,7 +30,7 @@ import re
 from dataclasses import dataclass, field
 from statistics import median
 
-from .doc_model import BODY, Doc
+from .doc_model import BODY, Doc, TableCellData, TableDataIR
 from .pdf_kernel import PdfPage, TextCell
 
 # ------------------------------------------------------------- cell merge
@@ -67,50 +67,45 @@ def _bidi_class(ch: str) -> str:
     return unicodedata.bidirectional(ch)
 
 
-def _is_ltr_cell(text: str) -> bool:
-    return all(_bidi_class(c) in ("L", "EN", "ES", "CS", "WS", "ON") for c in text)
+
+_LTR_CORE = ("L", "EN")
+_LTR_CONT = ("L", "EN", "ES", "CS", "WS", "ON")
 
 
-def _logical_order(parts_cells: list, parts_seps: list) -> tuple[list, list]:
-    """Visual LTR glyph order -> logical order for RTL-dominant lines
-    (pdfium emits logical order; PDFs place glyphs visually): reverse
-    the cell sequence, then flip maximal LTR runs back. Works at GLYPH
-    granularity so multi-char ToUnicode expansions (e.g. lam-alef
-    ligatures) keep their internal logical order."""
-    text_all = "".join(parts_cells)
-    n_rtl = sum(1 for c in text_all if _bidi_class(c) in ("R", "AL", "AN"))
-    n_ltr = sum(1 for c in text_all if _bidi_class(c) == "L")
+def _visual_to_logical(s: str) -> str:
+    """Visual LTR glyph order -> logical order for RTL-dominant text.
+
+    PDFs place glyphs visually: an Arabic word's glyph runs read
+    left-to-right across the page, so concatenating cells by ascending
+    x yields the REVERSE of the logical character sequence — and this
+    holds INSIDE multi-glyph cells too (a Tj run draws its string with
+    increasing x advances). The transform is therefore character-level:
+    reverse the whole visual string, then re-flip maximal LTR runs
+    (latin words, numbers) back to forward order, keeping boundary
+    whitespace in place. Verified against the reference groundtruth of
+    its three right_to_left fixtures (token-sequence similarity, see
+    tests/test_pdf_real.py)."""
+    n_rtl = sum(1 for c in s if _bidi_class(c) in ("R", "AL", "AN"))
+    n_ltr = sum(1 for c in s if _bidi_class(c) == "L")
     if n_rtl == 0 or n_rtl < n_ltr:
-        return parts_cells, parts_seps
-    cells = parts_cells[::-1]
-    seps = parts_seps[::-1]
-    # re-flip maximal LTR cell runs to their original (LTR) order
-    out_cells: list = []
-    out_seps: list = []
+        return s
+    rev = s[::-1]
+    out: list[str] = []
     i = 0
-    while i < len(cells):
-        if cells[i].strip() and _is_ltr_cell(cells[i]):
+    n = len(rev)
+    while i < n:
+        if _bidi_class(rev[i]) in _LTR_CORE:
             j = i
-            # whitespace-only cells continue an LTR run (a space glyph
-            # between two latin words must not split the re-flip)
-            while j < len(cells) and _is_ltr_cell(cells[j]):
+            while j < n and _bidi_class(rev[j]) in _LTR_CONT:
                 j += 1
-            while j > i and not cells[j - 1].strip():
-                j -= 1  # trailing space cells stay at the boundary
-            out_cells.extend(cells[i:j][::-1])
-            # separators inside the run reverse with it; the run's
-            # trailing separator stays at the boundary
-            inner = seps[i : j - 1][::-1] if j - 1 > i else []
-            out_seps.extend(inner)
-            if j - 1 < len(seps):
-                out_seps.append(seps[j - 1])
+            while j - 1 > i and _bidi_class(rev[j - 1]) not in _LTR_CORE:
+                j -= 1  # neutrals/space at the run edge stay boundaries
+            out.append(rev[i:j][::-1])
             i = j
         else:
-            out_cells.append(cells[i])
-            if i < len(seps):
-                out_seps.append(seps[i])
+            out.append(rev[i])
             i += 1
-    return out_cells, out_seps
+    return "".join(out)
 
 
 _WORD_GAP_EM = 0.17  # inter-cell gap above this fraction of the font
@@ -131,13 +126,12 @@ def _merge_group(group: list[TextCell]) -> TextCell:
         gap = cur.l - prev.r
         size = max(min(prev.size, cur.size), 1.0)
         seps.append(" " if gap > size * _WORD_GAP_EM else "")
-    texts, seps = _logical_order(texts, seps)
     parts = [texts[0]]
     for sep, t in zip(seps, texts[1:]):
         parts.append(sep)
         parts.append(t)
     return TextCell(
-        text="".join(parts).strip(),
+        text=_visual_to_logical("".join(parts)).strip(),
         l=min(c.l for c in group),
         t=min(c.t for c in group),
         r=max(c.r for c in group),
@@ -249,7 +243,7 @@ def sanitize_lines(lines: list[str]) -> str:
 
 @dataclass
 class Block:
-    kind: str  # 'title' | 'section_header' | 'text'
+    kind: str  # 'title' | 'section_header' | 'text' | 'table'
     text: str
     level: int
     page_no: int
@@ -259,6 +253,7 @@ class Block:
     b: float
     size: float
     parse_score: float = 1.0
+    table: "TableDataIR | None" = None
 
 
 def _cluster_columns(lines: list[TextCell], page_w: float) -> list[int]:
@@ -271,6 +266,183 @@ def _cluster_columns(lines: list[TextCell], page_w: float) -> list[int]:
     return cols
 
 
+# ---------------------------- geometry-only table reconstruction (P15')
+#
+# The reference recovers table structure with the TableFormer model
+# (docling/models/table_structure_model.py:170-304), which needs torch.
+# This is the implementable slice without it: text-based PDF tables
+# show up as visual rows whose cells align into vertical columns with
+# wide gaps; cluster the x-intervals into columns and the visual rows
+# into grid rows, and emit TableData. Conservative by design — a run
+# needs >= MIN_CORE_ROWS rows of >= MIN_COLS aligned segments, so
+# two-column body text (2 wide segments per row) never qualifies.
+
+_TBL_MIN_COLS = 3  # core rows need this many segments
+_TBL_MIN_CORE_ROWS = 3  # and this many consecutive core rows
+_TBL_MAX_ROW_GAP_FACTOR = 1.6  # x median line height between core rows
+
+
+def _interval_columns(segs: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Union overlapping x-intervals into column spans (sorted)."""
+    cols: list[list[float]] = []
+    for l, r in sorted(segs):
+        if cols and l <= cols[-1][1]:
+            cols[-1][1] = max(cols[-1][1], r)
+        else:
+            cols.append([l, r])
+    return [(c[0], c[1]) for c in cols]
+
+
+def _col_range(cols: list[tuple[float, float]], l: float, r: float) -> tuple[int, int]:
+    """(start_col, end_col) of the columns an x-interval overlaps."""
+    lo = hi = None
+    for i, (cl, cr) in enumerate(cols):
+        if r > cl and l < cr:
+            if lo is None:
+                lo = i
+            hi = i
+    if lo is None:  # no overlap: snap to nearest column by center
+        cx = (l + r) / 2
+        lo = hi = min(range(len(cols)), key=lambda i: abs((cols[i][0] + cols[i][1]) / 2 - cx))
+    return lo, hi + 1
+
+
+def detect_tables(
+    lines: list[TextCell], page_w: float, med_h: float
+) -> tuple[list[Block], list[TextCell]]:
+    """(table blocks, remaining non-table lines) from merged line cells.
+
+    1. Visual rows via _group_rows; a row is a CORE row when it has
+       >= _TBL_MIN_COLS separate segments (column gaps survive the
+       line merge because they exceed the cell-height threshold).
+    2. Maximal runs of core rows at most _TBL_MAX_ROW_GAP_FACTOR x
+       median line height apart, with >= _TBL_MIN_CORE_ROWS members;
+       every visual row vertically inside the run is absorbed (row
+       labels and multi-line headers have < MIN_COLS segments).
+    3. Columns = union of core-segment x-intervals; adjacent visual
+       rows with disjoint column sets merge into one grid row (a
+       header stacked over sub-headers, a row label shared by two
+       lines); cells get col_span from their column overlap.
+    """
+    if not lines:
+        return [], lines
+    rows = _group_rows(sorted(lines, key=lambda c: (c.t, c.l)))
+    rows = [sorted(r, key=lambda c: c.l) for r in rows]
+    core = [len(r) >= _TBL_MIN_COLS for r in rows]
+    max_gap = _TBL_MAX_ROW_GAP_FACTOR * max(med_h, 1.0)
+
+    # maximal runs over core-row indices; two core rows are continuous
+    # when the vertical gap CHAIN between them (walking every visual
+    # row in between — row labels, stacked sub-headers) never exceeds
+    # max_gap, so a label line does not sever the run
+    def continuous(a: int, b: int) -> bool:
+        bot = max(c.b for c in rows[a])
+        for k in range(a + 1, b + 1):
+            top = min(c.t for c in rows[k])
+            if top - bot > max_gap:
+                return False
+            bot = max(bot, max(c.b for c in rows[k]))
+        return True
+
+    runs: list[tuple[int, int]] = []  # (first_core_idx, last_core_idx) in rows[]
+    core_idx = [i for i, c in enumerate(core) if c]
+    i = 0
+    while i < len(core_idx):
+        j = i
+        while j + 1 < len(core_idx) and continuous(core_idx[j], core_idx[j + 1]):
+            j += 1
+        if j - i + 1 >= _TBL_MIN_CORE_ROWS:
+            runs.append((core_idx[i], core_idx[j]))
+        i = j + 1
+
+    if not runs:
+        return [], lines
+
+    table_blocks: list[Block] = []
+    absorbed: set[int] = set()
+    for first, last in runs:
+        y0 = min(c.t for c in rows[first])
+        y1 = max(c.b for c in rows[last])
+        member_rows = [
+            k
+            for k in range(len(rows))
+            if y0 - 0.25 * med_h
+            <= (min(c.t for c in rows[k]) + max(c.b for c in rows[k])) / 2
+            <= y1 + 0.25 * med_h
+        ]
+        cols = _interval_columns(
+            [(c.l, c.r) for k in member_rows if core[k] for c in rows[k]]
+        )
+        if len(cols) < _TBL_MIN_COLS:
+            continue
+        # merge adjacent visual rows with disjoint column sets
+        grid_rows: list[list[TextCell]] = []
+        used_cols: set[int] = set()
+        row_bot = None
+        for k in member_rows:
+            segs = rows[k]
+            colset = set()
+            for c in segs:
+                lo, hi = _col_range(cols, c.l, c.r)
+                colset.update(range(lo, hi))
+            top = min(c.t for c in segs)
+            if (
+                grid_rows
+                and row_bot is not None
+                and top < row_bot + 0.3 * med_h
+                and not (colset & used_cols)
+            ):
+                grid_rows[-1].extend(segs)
+                used_cols |= colset
+            else:
+                grid_rows.append(list(segs))
+                used_cols = colset
+            row_bot = max(c.b for c in segs)
+
+        cells: list[TableCellData] = []
+        for ri, segs in enumerate(grid_rows):
+            # several segments can land in one grid cell (e.g. a column
+            # that unioned two sub-columns): space-join their texts in
+            # x-order instead of overwriting — no word may be dropped
+            merged: dict[tuple[int, int], list[TextCell]] = {}
+            for c in sorted(segs, key=lambda s: s.l):
+                lo, hi = _col_range(cols, c.l, c.r)
+                merged.setdefault((lo, hi), []).append(c)
+            for (lo, hi), group in sorted(merged.items()):
+                cells.append(
+                    TableCellData(
+                        text=" ".join(c.text for c in group if c.text),
+                        start_row=ri,
+                        end_row=ri + 1,
+                        start_col=lo,
+                        end_col=hi,
+                        col_span=hi - lo,
+                        column_header=ri == 0,
+                    )
+                )
+        data = TableDataIR(len(grid_rows), len(cols), cells)
+        all_cells = [c for k in member_rows for c in rows[k]]
+        table_blocks.append(
+            Block(
+                kind="table",
+                text=" ".join(c.text for c in all_cells if c.text),
+                level=0,
+                page_no=0,  # caller fills page_no
+                l=min(c.l for c in all_cells),
+                t=min(c.t for c in all_cells),
+                r=max(c.r for c in all_cells),
+                b=max(c.b for c in all_cells),
+                size=max(c.size for c in all_cells),
+                table=data,
+            )
+        )
+        absorbed.update(member_rows)
+
+    id_absorbed = {id(c) for k in absorbed for c in rows[k]}
+    remaining = [ln for ln in lines if id(ln) not in id_absorbed]
+    return table_blocks, remaining
+
+
 def page_blocks(page: PdfPage) -> list[Block]:
     """Lines -> vertically-clustered blocks in reading order."""
     lines = merge_horizontal_cells(page.cells_top_left())
@@ -278,6 +450,11 @@ def page_blocks(page: PdfPage) -> list[Block]:
         return []
     heights = [ln.b - ln.t for ln in lines]
     med_h = median(heights) or 1.0
+    table_blocks, lines = detect_tables(lines, page.width, med_h)
+    for tb in table_blocks:
+        tb.page_no = page.page_no
+    if not lines and not table_blocks:
+        return []
     cols = _cluster_columns(lines, page.width)
     order = sorted(range(len(lines)), key=lambda i: (cols[i], lines[i].t, lines[i].l))
 
@@ -320,7 +497,18 @@ def page_blocks(page: PdfPage) -> list[Block]:
     flush()
     # P14: collapse duplicate/contained blocks (no-op for the disjoint
     # vertical clusters above; load-bearing once model clusters exist)
-    return resolve_overlapping_blocks(blocks)
+    blocks = resolve_overlapping_blocks(blocks)
+    if table_blocks:
+        # re-interleave tables into reading order: every block joins
+        # the column its left edge starts in (full-width tables -> 0),
+        # the same geometric rule _cluster_columns applies to lines
+        mid = page.width / 2
+
+        def key(b: Block) -> tuple:
+            return (1 if b.l > mid * 0.96 and b.r > mid else 0, b.t, b.l)
+
+        blocks = sorted(blocks + table_blocks, key=key)
+    return blocks
 
 
 def classify_blocks(blocks: list[Block]) -> None:
@@ -339,7 +527,7 @@ def classify_blocks(blocks: list[Block]) -> None:
         {round(b.size, 2) for b in blocks if b.size >= 1.25 * body}, reverse=True
     )
     for b in blocks:
-        if b.size >= 1.25 * body and len(b.text) < 300:
+        if b.kind == "text" and b.size >= 1.25 * body and len(b.text) < 300:
             b.kind = "section_header"
             b.level = header_sizes.index(round(b.size, 2)) + 1
     page1 = [b for b in blocks if b.page_no == 1 and b.kind == "section_header"]
@@ -352,6 +540,39 @@ def classify_blocks(blocks: list[Block]) -> None:
                     b.level -= 1
 
 
+# caption prefixes the reference's reading-order model keys on
+# (readingorder_model.py:106-334 predict_to_captions/footnotes attach
+# caption/footnote clusters to their nearest table/picture; without
+# the rb model the prefix + adjacency heuristic covers the common case)
+_CAPTION_RE = re.compile(r"^(Table|Tab\.|Figure|Fig\.)\s*\d+", re.IGNORECASE)
+_CAPTION_MAX_GAP = 60.0  # pt between caption edge and table edge
+
+
+def _attach_captions(all_blocks: list[Block]) -> dict[int, int]:
+    """caption-block index -> table-block index, for text blocks whose
+    text starts with a Table/Figure counter and that sit vertically
+    adjacent to a table on the same page (above preferred, the arXiv /
+    report convention; below accepted)."""
+    cap_for: dict[int, int] = {}
+    for i, b in enumerate(all_blocks):
+        if b.kind != "table":
+            continue
+        for j in (i - 1, i + 1):
+            if not 0 <= j < len(all_blocks) or j in cap_for:
+                continue
+            c = all_blocks[j]
+            if (
+                c.kind == "text"
+                and c.page_no == b.page_no
+                and _CAPTION_RE.match(c.text)
+            ):
+                gap = b.t - c.b if j < i else c.t - b.b
+                if -5.0 <= gap <= _CAPTION_MAX_GAP:
+                    cap_for[j] = i
+                    break  # prefer the block above
+    return cap_for
+
+
 def assemble_doc(
     all_blocks: list[Block], name: str = "doc", classify: bool = True
 ) -> Doc:
@@ -360,16 +581,31 @@ def assemble_doc(
     in the Spark paged path this is the post-shuffle kernel. Pass
     ``classify=False`` when the blocks were already classified
     doc-wide (e.g. per-page slices of a classified document)."""
+    from .doc_model import CAPTION
+
     if classify:
         classify_blocks(all_blocks)
+    cap_for = _attach_captions(all_blocks)
     doc = Doc(name)
-    for b in all_blocks:
-        if b.kind == "title":
+    caption_nodes: dict[int, int] = {}  # caption block idx -> node_id
+    table_nodes: dict[int, object] = {}  # table block idx -> DocNode
+    for i, b in enumerate(all_blocks):
+        if i in cap_for:
+            # emit in place (reading order keeps it next to its item)
+            # but labeled caption and referenced from the table node
+            node = doc.add_text(label=CAPTION, text=b.text, content_layer=BODY)
+            caption_nodes[i] = node.node_id
+        elif b.kind == "title":
             doc.add_title(b.text, content_layer=BODY)
         elif b.kind == "section_header":
             doc.add_heading(b.text, level=max(1, b.level), content_layer=BODY)
+        elif b.kind == "table" and b.table is not None:
+            table_nodes[i] = doc.add_table(b.table, content_layer=BODY)
         else:
             doc.add_text(text=b.text, content_layer=BODY)
+    for ci, ti in cap_for.items():
+        if ti in table_nodes and ci in caption_nodes:
+            table_nodes[ti].caption_id = caption_nodes[ci]
     return doc
 
 

@@ -295,3 +295,151 @@ def test_multimodal_pages_with_image(spark, pdf_corpus):
     # default path keeps the lean schema (no image columns)
     lean = multimodal_pages(pdf_corpus.limit(2), num_partitions=2)
     assert "page_image" not in lean.columns
+
+
+# --------------------------- geometry table reconstruction (P15 slice)
+
+
+def _tl_cell(text, l, t, w=40.0, h=9.0, size=9.0):
+    from docling_spark.kernels.pdf_kernel import TextCell
+
+    return TextCell(text=text, l=l, t=t, r=l + w, b=t + h, size=size)
+
+
+def test_detect_tables_constructed_golden():
+    """A 4x4 aligned grid between two paragraphs becomes ONE TableData
+    with exact row/col counts and cell texts; the paragraphs stay out."""
+    from docling_spark.kernels.pdf_layout import detect_tables
+
+    lines = [
+        _tl_cell("Intro paragraph line one two three", 72, 90, w=430),
+        _tl_cell("and a second wrapped line of prose", 72, 102, w=420),
+    ]
+    grid_texts = []
+    for ri in range(4):
+        row = []
+        for ci in range(4):
+            txt = f"r{ri}c{ci}"
+            row.append(txt)
+            lines.append(_tl_cell(txt, 72 + ci * 120, 140 + ri * 14))
+        grid_texts.append(row)
+    lines.append(_tl_cell("Closing paragraph after the table", 72, 240, w=410))
+
+    tables, remaining = detect_tables(lines, page_w=612.0, med_h=10.0)
+    assert len(tables) == 1
+    t = tables[0].table
+    assert (t.num_rows, t.num_cols) == (4, 4)
+    assert t.grid() == grid_texts
+    # header row flagged, spans sane
+    assert all(c.column_header for c in t.cells if c.start_row == 0)
+    assert all(c.col_span == 1 for c in t.cells)
+    # the three prose lines survive untouched
+    assert len(remaining) == 3
+    assert all("paragraph" in ln.text or "prose" in ln.text for ln in remaining)
+
+
+def test_detect_tables_ignores_two_column_text():
+    """Two-column body text (2 wide segments per visual row) must NOT
+    be mistaken for a table."""
+    from docling_spark.kernels.pdf_layout import detect_tables
+
+    lines = []
+    for i in range(12):
+        lines.append(_tl_cell(f"left column line {i} with words", 72, 90 + i * 12, w=220))
+        lines.append(_tl_cell(f"right column line {i} with words", 320, 90 + i * 12, w=220))
+    tables, remaining = detect_tables(lines, page_w=612.0, med_h=10.0)
+    assert tables == [] and len(remaining) == 24
+
+
+def test_detect_tables_merges_label_rows():
+    """A row label on its own visual line between two data lines (the
+    arXiv HPO-table shape) merges into the adjacent grid row when the
+    column sets are disjoint."""
+    from docling_spark.kernels.pdf_layout import detect_tables
+
+    lines = [
+        # header
+        _tl_cell("name", 72, 100), _tl_cell("alpha", 200, 100), _tl_cell("beta", 330, 100),
+        # data row 1 (cols 2,3) ...
+        _tl_cell("0.1", 200, 114), _tl_cell("0.2", 330, 114),
+        # ... with its label (col 1) on a slightly offset line
+        _tl_cell("rowA", 72, 119),
+        # data rows 2 and 3, full (>= 3 core rows total)
+        _tl_cell("rowB", 72, 131), _tl_cell("0.3", 200, 131), _tl_cell("0.4", 330, 131),
+        _tl_cell("rowC", 72, 145), _tl_cell("0.5", 200, 145), _tl_cell("0.6", 330, 145),
+    ]
+    tables, _ = detect_tables(lines, page_w=612.0, med_h=10.0)
+    assert len(tables) == 1
+    t = tables[0].table
+    assert (t.num_rows, t.num_cols) == (4, 3)
+    assert t.grid()[1] == ["rowA", "0.1", "0.2"]
+    assert t.grid()[2] == ["rowB", "0.3", "0.4"]
+    assert t.grid()[3] == ["rowC", "0.5", "0.6"]
+
+
+def test_pg9_table_end_to_end():
+    """The arXiv table benchmark page yields exactly one table node
+    with the HPO grid's shape and no dropped cell text."""
+    from pathlib import Path
+
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    pdf = Path("/root/reference/tests/data/pdf/2305.03393v1-pg9.pdf").read_bytes()
+    doc, _ = build_doc(parse_pdf(pdf), name="pg9")
+    tables = [n for n in doc.nodes if getattr(n, "table", None) is not None]
+    assert len(tables) == 1
+    t = tables[0].table
+    assert t.num_cols == 6
+    assert t.num_rows >= 9
+    cell_text = " ".join(c.text for c in t.cells)
+    for token in ("enc-layers", "OTSL", "HTML", "0.965", "2.73", "time (secs)"):
+        assert token in cell_text, token
+
+
+def test_caption_attachment_constructed():
+    """P18 slice: a 'Table N.' text block adjacent to a table attaches
+    as a caption node referenced from the table
+    (readingorder_model.py predict_to_captions semantics)."""
+    from docling_spark.kernels.pdf_layout import Block, assemble_doc
+    from docling_spark.kernels.doc_model import TableCellData, TableDataIR
+
+    data = TableDataIR(2, 2, [
+        TableCellData(text="a", start_row=0, end_row=1, start_col=0, end_col=1),
+        TableCellData(text="b", start_row=0, end_row=1, start_col=1, end_col=2),
+        TableCellData(text="1", start_row=1, end_row=2, start_col=0, end_col=1),
+        TableCellData(text="2", start_row=1, end_row=2, start_col=1, end_col=2),
+    ])
+    blocks = [
+        Block("text", "Intro paragraph.", 0, 1, 72, 80, 500, 92, 9.0),
+        Block("text", "Table 1. A caption above the grid.", 0, 1, 72, 120, 500, 132, 9.0),
+        Block("table", "a b 1 2", 0, 1, 72, 140, 500, 180, 9.0, table=data),
+        Block("text", "Closing paragraph.", 0, 1, 72, 300, 500, 312, 9.0),
+    ]
+    doc = assemble_doc(blocks, classify=False)
+    caps = [n for n in doc.nodes if n.kind == "caption"]
+    tables = [n for n in doc.nodes if n.kind == "table"]
+    assert len(caps) == 1 and len(tables) == 1
+    assert tables[0].caption_id == caps[0].node_id
+    # far-away 'Table N' text must NOT attach
+    blocks_far = [
+        Block("text", "Table 2. Unrelated mention far away.", 0, 1, 72, 80, 500, 92, 9.0),
+        Block("text", "body", 0, 1, 72, 100, 500, 112, 9.0),
+        Block("table", "a b", 0, 1, 72, 400, 500, 440, 9.0, table=data),
+    ]
+    doc2 = assemble_doc(blocks_far, classify=False)
+    assert not [n for n in doc2.nodes if n.kind == "caption"]
+
+
+def test_pg9_caption_linked_to_table():
+    from pathlib import Path
+
+    from docling_spark.kernels.pdf_kernel import parse_pdf
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    pdf = Path("/root/reference/tests/data/pdf/2305.03393v1-pg9.pdf").read_bytes()
+    doc, _ = build_doc(parse_pdf(pdf), name="pg9")
+    caps = [n for n in doc.nodes if n.kind == "caption"]
+    tables = [n for n in doc.nodes if n.kind == "table"]
+    assert len(caps) == 1 and caps[0].text.startswith("Table 1.")
+    assert tables and tables[0].caption_id == caps[0].node_id

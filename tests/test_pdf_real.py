@@ -236,28 +236,83 @@ def test_real_world_pdf_fixtures_content_recall():
     sys.setrecursionlimit(20000)
     GT = Path("/root/reference/tests/data/groundtruth/docling_v2")
     floors = {
-        "2305.03393v1-pg9": 0.95,
-        "amt_handbook_sample": 0.95,
-        "code_and_formula": 0.95,
-        "multi_page": 0.95,
-        "picture_classification": 0.95,
-        "redp5110_sampled": 0.90,
-        "right_to_left_01": 0.95,
-        "right_to_left_02": 0.80,  # 5-word gt; one diacritic variant
-        "right_to_left_03": 0.90,
+        # 0.97: geometry table reconstruction recovers the HPO table's
+        # cell text into TableData (was 0.95 as loose text blocks)
+        "2305.03393v1-pg9": 0.97,
+        "amt_handbook_sample": 0.97,
+        "code_and_formula": 0.97,
+        "multi_page": 0.97,
+        "picture_classification": 0.97,
+        "redp5110_sampled": 0.85,
+        # RTL floors cover ARABIC words too (round-3 unicode regex;
+        # the old [A-Za-z0-9] counter silently ignored them)
+        "right_to_left_01": 0.80,
+        "right_to_left_02": 0.75,
+        "right_to_left_03": 0.93,
     }
 
     def words(s):
-        return collections.Counter(re.findall(r"[A-Za-z0-9]{2,}", s.lower()))
+        return collections.Counter(re.findall(r"\w{2,}", s.lower()))
 
     for stem, floor in floors.items():
         pdf = Path(f"/root/reference/tests/data/pdf/{stem}.pdf").read_bytes()
         doc, _ = build_doc(parse_pdf(pdf), name=stem)
-        mine = " ".join(n.text for n in doc.nodes if n.text)
+        parts = [n.text for n in doc.nodes if n.text]
+        parts += [
+            c.text
+            for n in doc.nodes
+            if getattr(n, "table", None) is not None
+            for c in n.table.cells
+            if c.text
+        ]
+        mine = " ".join(parts)
         gw = words((GT / f"{stem}.md").read_text())
         mw = words(mine)
         inter = sum((gw & mw).values())
         recall = inter / max(sum(gw.values()), 1)
         precision = inter / max(sum(mw.values()), 1)
         assert recall >= floor, f"{stem}: recall {recall:.3f} < {floor}"
-        assert precision >= 0.85, f"{stem}: precision {precision:.3f}"
+        assert precision >= 0.80, f"{stem}: precision {precision:.3f}"
+
+
+def test_real_world_pdf_fixtures_reading_order():
+    """ORDER-sensitive witness: token-SEQUENCE similarity (difflib
+    ratio over word tokens) of our markdown vs the reference
+    groundtruth. Bag-of-words recall cannot see reading-order errors
+    (P18's whole job); this can — the round-3 RTL character-order fix
+    moved right_to_left_02 from 0.005 to ~0.77 under this metric while
+    recall barely moved. Floors sit ~0.03 under measured values; the
+    RTL/table-form fixtures are bounded by the model-based reading
+    order the reference uses (readingorder_model.py rb model)."""
+    import difflib
+    import re
+    import sys
+
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    sys.setrecursionlimit(20000)
+    GT = Path("/root/reference/tests/data/groundtruth/docling_v2")
+    floors = {
+        "2305.03393v1-pg9": 0.85,
+        "amt_handbook_sample": 0.95,
+        "code_and_formula": 0.96,
+        "multi_page": 0.97,
+        "picture_classification": 0.97,
+        "redp5110_sampled": 0.80,
+        "right_to_left_01": 0.75,
+        "right_to_left_02": 0.72,
+        "right_to_left_03": 0.42,  # form-table page: field/value order
+        # needs the table-aware rb reading-order model
+    }
+
+    def toks(s):
+        return re.findall(r"\w+", s.lower())
+
+    for stem, floor in floors.items():
+        pdf = Path(f"/root/reference/tests/data/pdf/{stem}.pdf").read_bytes()
+        doc, _ = build_doc(parse_pdf(pdf), name=stem)
+        mine = toks(to_markdown(doc))
+        gt = toks((GT / f"{stem}.md").read_text())
+        ratio = difflib.SequenceMatcher(a=gt, b=mine, autojunk=False).ratio()
+        assert ratio >= floor, f"{stem}: order ratio {ratio:.3f} < {floor}"
