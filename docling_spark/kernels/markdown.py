@@ -237,7 +237,7 @@ class MarkdownSerializer:
             return blocks
         elif kind == "formula":
             blocks = [f"$${node.text}$$"] if node.text else []
-        elif kind in (TEXT, CAPTION, LIST_ITEM, "paragraph"):
+        elif kind in (TEXT, CAPTION, LIST_ITEM, "paragraph", "footnote"):
             r = _render_inline(node)
             blocks = [r] if r else []
         elif kind == CODE:

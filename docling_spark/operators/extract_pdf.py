@@ -49,6 +49,10 @@ _BLOCK_FIELDS = [
     StructField("r", DoubleType()),
     StructField("b", DoubleType()),
     StructField("size", DoubleType()),
+    # JSON-serialized TableDataIR for kind == 'table' (else None): the
+    # paged strategy must carry the reconstructed grid through the
+    # shuffle or strategy B would silently drop tables strategy A keeps
+    StructField("table_json", StringType()),
 ]
 
 PDF_DOC_SCHEMA = StructType(
@@ -169,7 +173,11 @@ def parse_pdf_page_rows(df: DataFrame, content_col: str = "content") -> DataFram
     import pandas as pd
 
     from docling_spark.kernels.pdf_kernel import parse_pdf
-    from docling_spark.kernels.pdf_layout import page_blocks, page_parse_score
+    from docling_spark.kernels.pdf_layout import (
+        page_blocks,
+        page_parse_score,
+        table_to_json as _table_to_json,
+    )
 
     def run(batches):
         for pdf in batches:
@@ -203,6 +211,7 @@ def parse_pdf_page_rows(df: DataFrame, content_col: str = "content") -> DataFram
                                         b.r,
                                         b.b,
                                         b.size,
+                                        _table_to_json(b.table),
                                     )
                                     for b in blocks
                                 ],
@@ -248,13 +257,18 @@ def assemble_from_pages(page_rows: DataFrame) -> DataFrame:
 
     grouped = page_rows.groupBy("url").agg(
         F.array_sort(
-            F.collect_list(F.struct("page_no", "blocks", "parse_score", "status"))
+            F.collect_list(F.struct("page_no", "height", "blocks", "parse_score", "status"))
         ).alias("pages"),
     )
 
     def run(batches):
         from docling_spark.kernels.markdown import to_markdown
-        from docling_spark.kernels.pdf_layout import Block, assemble_doc
+        from docling_spark.kernels.pdf_layout import (
+            Block,
+            assemble_doc,
+            mark_page_furniture,
+            table_from_json,
+        )
         from docling_spark.kernels.textout import to_text
 
         for pdf in batches:
@@ -285,10 +299,15 @@ def assemble_from_pages(page_rows: DataFrame) -> DataFrame:
                         r=b["r"],
                         b=b["b"],
                         size=b["size"],
+                        table=table_from_json(b["table_json"]),
                     )
                     for p in pages
                     for b in p["blocks"]
                 ]
+                page_heights = {
+                    p["page_no"]: p["height"] for p in pages if p["height"]
+                }
+                mark_page_furniture(blocks, page_heights)
                 doc = assemble_doc(blocks, name=url)
                 scores = [
                     p["parse_score"] for p in pages if p["parse_score"] is not None
@@ -408,6 +427,7 @@ def _multimodal_rows_for_doc(
     from docling_spark.kernels.pdf_layout import (
         assemble_doc,
         classify_blocks,
+        mark_page_furniture,
         page_blocks,
     )
 
@@ -416,6 +436,9 @@ def _multimodal_rows_for_doc(
     for page in sorted(pages, key=lambda p: p.page_no):
         all_blocks.extend(page_blocks(page))
     classify_blocks(all_blocks)  # doc-wide: heading ranks need all pages
+    # same furniture semantics as the doc path: running heads/folios
+    # leave the body layer in the per-page training tuples too
+    mark_page_furniture(all_blocks, {p.page_no: p.height for p in pages})
 
     rows = []
     for page in sorted(pages, key=lambda p: p.page_no):

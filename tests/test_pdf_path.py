@@ -443,3 +443,113 @@ def test_pg9_caption_linked_to_table():
     tables = [n for n in doc.nodes if n.kind == "table"]
     assert len(caps) == 1 and caps[0].text.startswith("Table 1.")
     assert tables and tables[0].caption_id == caps[0].node_id
+
+
+# ------------------------- page-header/footer furniture + pictures
+
+
+def test_mark_page_furniture_rules():
+    from docling_spark.kernels.pdf_layout import Block, mark_page_furniture
+
+    H = 792.0
+    blocks = [
+        # standalone folio at top edge -> header
+        Block("text", "9", 0, 1, 476, 85, 481, 95, 9.0),
+        # roman folio at bottom -> footer
+        Block("text", "iii", 0, 1, 300, 760, 312, 770, 9.0),
+        # running title repeated on two pages near top -> header
+        Block("text", "Annual Report 2024", 0, 1, 72, 60, 300, 72, 9.0),
+        Block("text", "Annual Report 2024", 0, 2, 72, 60, 300, 72, 9.0),
+        # page-number-looking text mid-page stays body
+        Block("text", "42", 0, 1, 300, 400, 312, 410, 9.0),
+        # long body text near top stays body (not repeated)
+        Block("text", "One-off opening sentence of the document.", 0, 1, 72, 80, 480, 92, 9.0),
+    ]
+    mark_page_furniture(blocks, {1: H, 2: H})
+    kinds = [b.kind for b in blocks]
+    assert kinds == [
+        "page_header", "page_footer", "page_header", "page_header",
+        "text", "text",
+    ]
+
+
+def test_furniture_excluded_from_body_exports():
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_layout import Block, assemble_doc
+    from docling_spark.kernels.textout import to_text
+
+    blocks = [
+        Block("page_header", "Running Title", 0, 1, 72, 60, 300, 72, 9.0),
+        Block("text", "Body paragraph.", 0, 1, 72, 200, 480, 212, 9.0),
+        Block("page_footer", "7", 0, 1, 300, 760, 312, 770, 9.0),
+    ]
+    doc = assemble_doc(blocks, classify=False)
+    md = to_markdown(doc)
+    assert "Body paragraph." in md
+    assert "Running Title" not in md and "\n7" not in md
+    # but the nodes exist in the furniture layer for audits
+    hf = [n for n in doc.nodes if n.kind in ("page_header", "page_footer")]
+    assert len(hf) == 2 and all(n.content_layer == "furniture" for n in hf)
+    assert "Running Title" not in to_text(doc)
+
+
+def test_real_fixture_furniture_and_pictures():
+    """redp5110: 30 page_footers in the reference groundtruth — the
+    repeated-text + folio rules must find a large share; the picture
+    fixture yields its two pictures with their two Figure captions."""
+    from pathlib import Path
+
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    redp = Path("/root/reference/tests/data/pdf/redp5110_sampled.pdf").read_bytes()
+    doc, _ = build_doc(parse_pdf(redp), name="redp")
+    hf = [n for n in doc.nodes if n.kind in ("page_header", "page_footer")]
+    assert len(hf) >= 15
+
+    pc = Path(
+        "/root/reference/tests/data/pdf/picture_classification.pdf"
+    ).read_bytes()
+    doc2, _ = build_doc(parse_pdf(pc), name="pc")
+    pics = [n for n in doc2.nodes if n.kind == "picture"]
+    caps = [n for n in doc2.nodes if n.kind == "caption"]
+    assert len(pics) == 2 and len(caps) == 2
+    assert sorted(p.caption_id for p in pics) == sorted(c.node_id for c in caps)
+
+
+def test_paged_strategy_carries_tables(spark):
+    """Strategy B must not drop reconstructed tables: the pg9 fixture
+    pushed through the page-explode + regroup shuffle produces the
+    same markdown (table grid included) as the doc-at-once path."""
+    from pathlib import Path
+
+    from docling_spark.operators.extract_pdf import (
+        extract_pdf_docs,
+        extract_pdfs_paged,
+    )
+
+    pdf = Path("/root/reference/tests/data/pdf/2305.03393v1-pg9.pdf").read_bytes()
+    df = spark.createDataFrame(
+        [("https://x/pg9.pdf", bytearray(pdf))], "url string, content binary"
+    )
+    a = extract_pdf_docs(df, num_partitions=2).collect()[0]
+    b = extract_pdfs_paged(df).collect()[0]
+    assert "| OTSL" in a.md and a.md == b.md
+
+
+def test_footnote_rule_constructed():
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_layout import Block, assemble_doc, mark_page_furniture
+
+    H = 792.0
+    blocks = [
+        Block("text", "Body paragraph citing something.", 0, 1, 72, 300, 480, 312, 9.0),
+        Block("text", "1   http://example.org/source", 0, 1, 72, 730, 300, 740, 7.0),
+    ]
+    mark_page_furniture(blocks, {1: H})
+    assert blocks[1].kind == "footnote"
+    doc = assemble_doc(blocks, classify=False)
+    fn = [n for n in doc.nodes if n.kind == "footnote"]
+    # footnotes stay in the BODY layer (reference keeps them in body,
+    # only the label changes) so md still carries the text
+    assert len(fn) == 1 and fn[0].content_layer == "body"
+    assert "example.org" in to_markdown(doc)
