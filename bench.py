@@ -87,10 +87,18 @@ def warmup(spark) -> None:
     extract_pages(tiny, num_partitions=CPUS * 2).groupBy("status").count().collect()
 
 
-def timed(fn, repeats: int = REPEATS) -> tuple[float, float, float]:
-    """(median, min, max) wall seconds over ``repeats`` runs."""
+def timed(fn, repeats: int = REPEATS, spark=None) -> tuple[float, float, float]:
+    """(median, min, max) wall seconds over ``repeats`` runs.
+
+    Each repeat is hermetic: Spark's CacheManager matches persisted
+    plans by canonicalized form, so a query that persist()s (e.g. the
+    MinHash shingle scan) would silently serve repeats 2..n from repeat
+    1's cache and the median would measure cache hits, not the query.
+    clearCache() before every repeat keeps the measurement honest."""
     ts = []
     for _ in range(repeats):
+        if spark is not None:
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
@@ -125,7 +133,7 @@ def main() -> None:
         agg = res.groupBy("status").count().collect()
         n_ok_box[0] = sum(r["count"] for r in agg if r["status"] == "success")
 
-    med, lo, hi = timed(run_extract)
+    med, lo, hi = timed(run_extract, spark=spark)
     timings["extract"] = round(med, 3)
     tmin["extract"] = round(lo, 3)
     tmax["extract"] = round(hi, 3)
@@ -143,7 +151,9 @@ def main() -> None:
         "x_minhash_pairs",
         "q_ann_topk",
     ):
-        med, lo, hi = timed(lambda name=name: qs[name](spark, SF_DIR).collect())
+        med, lo, hi = timed(
+            lambda name=name: qs[name](spark, SF_DIR).collect(), spark=spark
+        )
         timings[name] = round(med, 3)
         tmin[name] = round(lo, 3)
         tmax[name] = round(hi, 3)
