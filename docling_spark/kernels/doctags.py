@@ -53,10 +53,49 @@ def export_to_doctags(
     def loc_for(node_id: int) -> str:
         return _loc(bboxes.get(node_id), page_w, page_h)
 
+    def otsl(table) -> str:
+        """OTSL token stream with the reference's full cell vocabulary
+        (observed in *.doctags.txt): <fcel> full, <ecel> empty, <ched>
+        column header, <rhed> row header, <lcel> colspan continuation,
+        <ucel> rowspan continuation, <nl> row end."""
+        origin: dict[tuple[int, int], object] = {}
+        covered: dict[tuple[int, int], object] = {}
+        for c in table.cells:
+            for r in range(c.start_row, min(c.end_row, table.num_rows)):
+                for k in range(c.start_col, min(c.end_col, table.num_cols)):
+                    covered[(r, k)] = c
+            origin[(c.start_row, c.start_col)] = c
+        toks: list[str] = []
+        for r in range(table.num_rows):
+            for k in range(table.num_cols):
+                cell = covered.get((r, k))
+                if cell is None:
+                    toks.append("<ecel>")
+                elif (r, k) == (cell.start_row, cell.start_col):
+                    if cell.column_header:
+                        toks.append(f"<ched>{cell.text}")
+                    elif cell.row_header:
+                        toks.append(f"<rhed>{cell.text}")
+                    elif cell.text:
+                        toks.append(f"<fcel>{cell.text}")
+                    else:
+                        toks.append("<ecel>")
+                elif r == cell.start_row:
+                    toks.append("<lcel>")  # horizontal span continuation
+                else:
+                    toks.append("<ucel>")  # vertical span continuation
+            toks.append("<nl>")
+        return "<otsl>" + "".join(toks) + "</otsl>"
+
     def walk(node_id: int) -> None:
         node = doc.nodes[node_id]
         if node.content_layer != BODY:
-            label = "page_header" if node.kind in (TITLE, TEXT) else None
+            if node.kind in ("page_header", "page_footer"):
+                label = node.kind
+            elif node.kind in (TITLE, TEXT):
+                label = "page_header"
+            else:
+                label = None
             if label and node.text:
                 parts.append(f"<{label}>{loc_for(node_id)}{node.text}</{label}>")
             for c in node.children:
@@ -83,16 +122,32 @@ def export_to_doctags(
         elif node.kind == LIST_ITEM:
             parts.append(f"<list_item>{loc_for(node_id)}{node.text}</list_item>")
         elif node.kind == TABLE and node.table is not None:
-            rows = [
-                "".join(f"<fcel>{cell}" for cell in row) + "<nl>"
-                for row in node.table.grid()
-            ]
-            parts.append("<otsl>" + "".join(rows) + "</otsl>")
+            pre = ""
+            if node.caption_id >= 0:
+                cap = doc.nodes[node.caption_id].text
+                if cap:
+                    pre = f"<caption>{loc_for(node.caption_id)}{cap}</caption>"
+            parts.append(pre + otsl(node.table))
         elif node.kind == PICTURE:
             cap = ""
             if node.caption_id >= 0:
-                cap = doc.nodes[node.caption_id].text
+                ct = doc.nodes[node.caption_id].text
+                if ct:
+                    cap = f"<caption>{loc_for(node.caption_id)}{ct}</caption>"
             parts.append(f"<picture>{loc_for(node_id)}{cap}</picture>")
+        elif node.kind == "caption":
+            # rendered inline with its owning table/picture; standalone
+            # captions (unattached) still serialize
+            if not any(
+                n.caption_id == node_id
+                for n in doc.nodes
+                if n.kind in (TABLE, PICTURE)
+            ):
+                parts.append(f"<caption>{loc_for(node_id)}{node.text}</caption>")
+        elif node.kind == "footnote":
+            parts.append(f"<footnote>{loc_for(node_id)}{node.text}</footnote>")
+        elif node.kind == "formula":
+            parts.append(f"<formula>{loc_for(node_id)}{node.text}</formula>")
         elif node.kind in (TEXT, "paragraph") and node.text:
             parts.append(f"<text>{loc_for(node_id)}{node.text}</text>")
         for c in node.children:

@@ -541,6 +541,21 @@ class PdfDocument:
 
     def _font_info(self, fd: dict) -> "FontInfo":
         fi = FontInfo()
+        base = self.resolve(fd.get("BaseFont"))
+        desc0 = self.resolve(fd.get("DescendantFonts"))
+        if (base is None or not str(base)) and isinstance(desc0, list) and desc0:
+            d0 = self.resolve(desc0[0])
+            if isinstance(d0, dict):
+                base = self.resolve(d0.get("BaseFont"))
+        bname = str(base or "").lower()
+        # strip the subset prefix (AAAAAB+SFBX1000 -> sfbx1000); TeX
+        # faces encode weight positionally: cmbx/sfbx = bold extended,
+        # cmb = bold — alongside the usual Bold/Black/Heavy names
+        bname = bname.rsplit("+", 1)[-1]
+        fi.bold = bool(
+            any(k in bname for k in ("bold", "black", "heavy", "semibold", "demi"))
+            or re.search(r"(?:cm|sf)bx?\d", bname)
+        )
         subtype = str(self.resolve(fd.get("Subtype")))
         if subtype == "Type0":
             fi.code_bytes = 2
@@ -781,6 +796,7 @@ class FontInfo:
     bytes into unicode + advance widths (1/1000 em units)."""
 
     code_bytes: int = 1  # 1 = simple font, 2 = Type0/Identity-H
+    bold: bool = False  # BaseFont name carries Bold/Black/Heavy
     to_unicode: dict[int, str] | None = None
     diff_map: dict[int, str] | None = None  # simple-font /Differences
     widths: dict[int, float] | None = None
@@ -871,6 +887,9 @@ class TextCell:
     # P12 provenance flag (reference TextCell.from_ocr,
     # pypdfium2_backend.py:136-153 / base_ocr_model.py:115-171)
     from_ocr: bool = False
+    # bold weight from the showing font's BaseFont name — the visual
+    # cue the layout model uses for same-size section headings
+    bold: bool = False
 
 
 @dataclass
@@ -893,6 +912,8 @@ class PdfPage:
                 c.r,
                 self.height - c.t,  # TL top (smaller y)
                 c.size,
+                from_ocr=c.from_ocr,
+                bold=c.bold,
             )
             for c in self.cells
         ]
@@ -966,7 +987,10 @@ def interpret_text(
         x1 = e + adv * (abs(a) or 1.0)
         if text:
             page.cells.append(
-                TextCell(text, e, f, x1, f + eff_size, eff_size)
+                TextCell(
+                    text, e, f, x1, f + eff_size, eff_size,
+                    bold=cur_font.bold if cur_font is not None else False,
+                )
             )
         tm = _mat_mul((1, 0, 0, 1, adv, 0), tm)
 

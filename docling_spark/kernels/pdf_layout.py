@@ -132,6 +132,8 @@ def _merge_group(group: list[TextCell]) -> TextCell:
     for sep, t in zip(seps, texts[1:]):
         parts.append(sep)
         parts.append(t)
+    n_bold = sum(len(c.text) for c in group if c.bold)
+    n_all = sum(len(c.text) for c in group) or 1
     return TextCell(
         text=_visual_to_logical("".join(parts)).strip(),
         l=min(c.l for c in group),
@@ -139,6 +141,7 @@ def _merge_group(group: list[TextCell]) -> TextCell:
         r=max(c.r for c in group),
         b=max(c.b for c in group),
         size=max(c.size for c in group),
+        bold=n_bold * 2 > n_all,
     )
 
 
@@ -256,6 +259,7 @@ class Block:
     size: float
     parse_score: float = 1.0
     table: "TableDataIR | None" = None
+    bold: bool = False
 
 
 def _cluster_columns(lines: list[TextCell], page_w: float) -> list[int]:
@@ -480,6 +484,8 @@ def page_blocks(page: PdfPage) -> list[Block]:
                     b=max(c.b for c in cur),
                     size=max(c.size for c in cur),
                     parse_score=page_parse_score([c.text for c in cur]),
+                    bold=sum(len(c.text) for c in cur if c.bold) * 2
+                    > (sum(len(c.text) for c in cur) or 1),
                 )
             )
         cur.clear()
@@ -492,7 +498,9 @@ def page_blocks(page: PdfPage) -> list[Block]:
             same_col = cols[i] == cols[prev_idx]
             gap = ln.t - prev.b
             size_jump = abs(ln.size - prev.size) > 0.15 * max(ln.size, prev.size)
-            if not same_col or gap > 0.9 * med_h or size_jump:
+            # a weight flip is a block boundary too: a bold heading at
+            # body size must not merge into its following paragraph
+            if not same_col or gap > 0.9 * med_h or size_jump or ln.bold != prev.bold:
                 flush()
         cur.append(ln)
         prev_idx = i
@@ -555,13 +563,34 @@ def classify_blocks(blocks: list[Block]) -> None:
         if b.kind == "text" and b.size >= 1.25 * body and len(b.text) < 300:
             b.kind = "section_header"
             b.level = header_sizes.index(round(b.size, 2)) + 1
-    page1 = [b for b in blocks if b.page_no == 1 and b.kind == "section_header"]
+    # bold headings at body size: the weight flip is the layout model's
+    # cue for same-size section headers ("5.1 Hyper Parameter
+    # Optimization" in the arXiv fixtures). Short, bold, not a caption.
+    depth = len(header_sizes)
+    for b in blocks:
+        if (
+            b.kind == "text"
+            and b.bold
+            and b.size >= 0.95 * body
+            and 0 < len(b.text) < 100
+            and not _TABLE_CAPTION_RE.match(b.text)
+            and not _FIGURE_CAPTION_RE.match(b.text)
+        ):
+            b.kind = "section_header"
+            b.level = max(depth, 1) if b.size < 1.25 * body else b.level
+    # title promotion only considers genuinely LARGER-font headers —
+    # a bold heading at body size is a section header, never the title
+    page1 = [
+        b
+        for b in blocks
+        if b.page_no == 1 and b.kind == "section_header" and b.size >= 1.25 * body
+    ]
     if page1:
         top = max(page1, key=lambda b: b.size)
         if top.level == 1:
             top.kind = "title"
             for b in blocks:
-                if b.kind == "section_header" and b.level > 1:
+                if b.kind == "section_header" and b.level > 1 and b.size >= 1.25 * body:
                     b.level -= 1
 
 

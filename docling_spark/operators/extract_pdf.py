@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -53,6 +54,7 @@ _BLOCK_FIELDS = [
     # paged strategy must carry the reconstructed grid through the
     # shuffle or strategy B would silently drop tables strategy A keeps
     StructField("table_json", StringType()),
+    StructField("bold", BooleanType()),
 ]
 
 PDF_DOC_SCHEMA = StructType(
@@ -212,6 +214,7 @@ def parse_pdf_page_rows(df: DataFrame, content_col: str = "content") -> DataFram
                                         b.b,
                                         b.size,
                                         _table_to_json(b.table),
+                                        b.bold,
                                     )
                                     for b in blocks
                                 ],
@@ -300,6 +303,7 @@ def assemble_from_pages(page_rows: DataFrame) -> DataFrame:
                         b=b["b"],
                         size=b["size"],
                         table=table_from_json(b["table_json"]),
+                        bold=bool(b["bold"]),
                     )
                     for p in pages
                     for b in p["blocks"]

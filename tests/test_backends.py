@@ -280,3 +280,42 @@ def test_ext_hint_only_disambiguates_text_family():
     md = b"# Title\n\nSome <b>bold</b> inline html.\n"
     row2 = convert_one("https://x.example.com/file.md", md)
     assert (row2["fmt"], row2["status"]) == ("md", "success")
+
+
+def test_doctags_otsl_vocabulary_and_labels():
+    """E3: OTSL cell tokens (ched/rhed/fcel/ecel/lcel/ucel), caption
+    pairing, footnote and page_header/page_footer labels — the full
+    label vocabulary observed in the reference's *.doctags.txt."""
+    from docling_spark.kernels.doc_model import (
+        BODY, FURNITURE, Doc, TableCellData, TableDataIR,
+    )
+
+    doc = Doc("t")
+    doc.add_text(label="page_header", text="Running Head", content_layer=FURNITURE)
+    cap = doc.add_text(label="caption", text="Table 1. Caption.", content_layer=BODY)
+    data = TableDataIR(3, 3, [
+        TableCellData(text="h1", start_row=0, end_row=1, start_col=0, end_col=1, column_header=True),
+        # column header spanning cols 1-2 -> ched + lcel
+        TableCellData(text="h23", start_row=0, end_row=1, start_col=1, end_col=3, col_span=2, column_header=True),
+        # row header spanning rows 1-2 -> rhed + ucel
+        TableCellData(text="r1", start_row=1, end_row=3, start_col=0, end_col=1, row_span=2, row_header=True),
+        TableCellData(text="a", start_row=1, end_row=2, start_col=1, end_col=2),
+        # (1,2) intentionally missing -> ecel
+        TableCellData(text="b", start_row=2, end_row=3, start_col=1, end_col=2),
+        TableCellData(text="c", start_row=2, end_row=3, start_col=2, end_col=3),
+    ])
+    t = doc.add_table(data, content_layer=BODY)
+    t.caption_id = cap.node_id
+    doc.add_text(label="footnote", text="1   a source", content_layer=BODY)
+
+    tags = export_to_doctags(doc)
+    assert "<page_header>Running Head</page_header>" in tags
+    assert "<caption>Table 1. Caption.</caption>" in tags
+    # caption renders with the table, not standalone
+    assert tags.count("Table 1. Caption.") == 1
+    assert "<otsl>" in tags
+    row0 = "<ched>h1<ched>h23<lcel><nl>"
+    row1 = "<rhed>r1<fcel>a<ecel><nl>"
+    row2 = "<ucel><fcel>b<fcel>c<nl>"
+    assert row0 + row1 + row2 in tags.replace("</otsl>", "")
+    assert "<footnote>1   a source</footnote>" in tags

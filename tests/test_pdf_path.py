@@ -553,3 +553,22 @@ def test_footnote_rule_constructed():
     # only the label changes) so md still carries the text
     assert len(fn) == 1 and fn[0].content_layer == "body"
     assert "example.org" in to_markdown(doc)
+
+
+def test_bold_headings_split_and_classify():
+    """A bold line at body size is a section header, split from its
+    following paragraph (the arXiv '5.1 Hyper Parameter Optimization'
+    shape: TeX SFBX/cmbx bold-extended faces carry the weight cue)."""
+    from pathlib import Path
+
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    pdf = Path("/root/reference/tests/data/pdf/2305.03393v1-pg9.pdf").read_bytes()
+    doc, _ = build_doc(parse_pdf(pdf), name="pg9")
+    heads = [n.text for n in doc.nodes if n.kind == "section_header"]
+    assert heads == [
+        "5.1 Hyper Parameter Optimization",
+        "5.2 Quantitative Results",
+    ]
+    # a bold body-size heading never becomes the document title
+    assert not [n for n in doc.nodes if n.kind == "title"]

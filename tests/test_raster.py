@@ -274,3 +274,53 @@ def test_media_features_dims_match_decoder(spark):
         kind, payload = _synth_payload(i)
         w, h, c, s = decode_image(payload)
         assert (feats[i].width, feats[i].height) == (w, h)
+
+
+# ------------------------------------------------------------- fuzzing
+
+
+def test_raster_fuzz_never_hangs_or_segfaults():
+    """Crawl reality: truncated, bit-flipped, and spliced image bytes
+    must raise RasterError (or decode) — never hang, loop, or crash."""
+    import hashlib
+
+    from docling_spark.kernels.pdf_kernel import encode_png_gray
+
+    img = (np.arange(24 * 16, dtype=np.uint32) % 256).astype(np.uint8).reshape(16, 24)
+    png = encode_png_gray(img)
+    gif = encode_gif_gray(8, 6, bytes(range(48)))
+
+    def mutations(data: bytes):
+        yield data[: len(data) // 3]               # truncate
+        yield data[: len(data) * 2 // 3]           # truncate later
+        b = bytearray(data)
+        for i in (8, 16, 25, len(b) // 2, len(b) - 3):
+            b[i % len(b)] ^= 0xFF                  # bit flips
+        yield bytes(b)
+        yield data + data[:32]                     # splice
+        yield data[:16] + b"\x00" * 64 + data[16:]  # zero insert
+        # deterministic garbage with a valid magic
+        yield data[:8] + hashlib.sha256(data).digest() * 8
+
+    n = 0
+    for seed in (png, gif):
+        for mut in mutations(seed):
+            try:
+                w, h, c, s = decode_image(mut)
+                assert 0 < w < 65536 and 0 < h < 65536
+                assert len(s) == w * h * c
+            except RasterError:
+                pass
+            n += 1
+    assert n == 12
+
+
+def test_gif_lzw_bomb_bounded():
+    """A tiny LZW stream expanding far past the declared frame size
+    must stop at the pixel budget instead of ballooning memory."""
+    # valid header declaring 4x4, LZW stream that would decode far more
+    pal = [(0, 0, 0), (255, 255, 255)]
+    idx = bytes([0, 1] * 8)
+    data = bytearray(make_gif(idx, 4, 4, pal))
+    w, h, c, s = decode_gif(bytes(data))
+    assert (w, h) == (4, 4) and len(s) == 4 * 4 * 3
