@@ -575,6 +575,7 @@ def classify_blocks(blocks: list[Block]) -> None:
             and 0 < len(b.text) < 100
             and not _TABLE_CAPTION_RE.match(b.text)
             and not _FIGURE_CAPTION_RE.match(b.text)
+            and not _LIST_MARKER_RE.match(b.text)
         ):
             b.kind = "section_header"
             b.level = max(depth, 1) if b.size < 1.25 * body else b.level
@@ -646,6 +647,9 @@ def table_from_json(payload: str | None) -> TableDataIR | None:
 # >= 2 pages (running titles, copyright lines).
 
 _PAGE_NUM_RE = re.compile(r"^(?:\d{1,4}(?:-\d{1,4})?|[ivxlcdm]{1,7})$", re.IGNORECASE)
+# bullet glyphs that open a PDF list item (digit-led lines stay text:
+# stripping/duplicating numeric markers loses information either way)
+_LIST_MARKER_RE = re.compile(r"^[·•∞▪‣*–—-]\s+")
 # footnote counter + wide gap before the note text ("1   http://...")
 _FOOTNOTE_RE = re.compile(r"^\d{1,2}\s{2,}\S")
 _EDGE_TOP = 0.135  # fraction of page height counted as header zone
@@ -753,7 +757,19 @@ def assemble_doc(
     doc = Doc(name)
     caption_nodes: dict[int, int] = {}  # caption block idx -> node_id
     item_nodes: dict[int, object] = {}  # table/picture block idx -> DocNode
+    list_group = None  # open list while consecutive bullet-led blocks run
     for i, b in enumerate(all_blocks):
+        is_item = (
+            b.kind == "text" and i not in cap_for and _LIST_MARKER_RE.match(b.text)
+        )
+        if is_item:
+            # readingorder_model.py:301-310 list grouping: adjacent
+            # list items share one group; any other block closes it
+            if list_group is None:
+                list_group = doc.add_list_group(name="list")
+            doc.add_list_item(b.text, parent=list_group)
+            continue
+        list_group = None
         if i in cap_for:
             # emit in place (reading order keeps it next to its item)
             # but labeled caption and referenced from the table node

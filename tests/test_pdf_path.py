@@ -572,3 +572,24 @@ def test_bold_headings_split_and_classify():
     ]
     # a bold body-size heading never becomes the document title
     assert not [n for n in doc.nodes if n.kind == "title"]
+
+
+def test_pdf_list_items_grouped():
+    """Bullet-glyph-led lines group into a list (multi_page fixture:
+    the reference's groundtruth renders them as '- <glyph> text'
+    list_items); bold bullet lines never classify as headings."""
+    from pathlib import Path
+
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    pdf = Path("/root/reference/tests/data/pdf/multi_page.pdf").read_bytes()
+    doc, _ = build_doc(parse_pdf(pdf), name="mp")
+    items = [n for n in doc.nodes if n.kind == "list_item"]
+    assert len(items) >= 5
+    assert all(not it.enumerated for it in items)
+    # the bold '· IBM MT/ST...' item is a list item, not a heading
+    heads = [n.text for n in doc.nodes if n.kind == "section_header"]
+    assert len(heads) == 11 and not any("MT/ST" in h for h in heads)
+    md = to_markdown(doc)
+    assert "\n- " in md  # items render as markdown list lines
