@@ -77,7 +77,21 @@ def _name_matches(tag_name: str, name_filter) -> bool:
 WATCH_IMG = 1
 WATCH_FORMULA = 2
 WATCH_TABLE = 4
+# any block-level tag (html_kernel.BLOCK_TAGS imports this set): the
+# walk asks "does this inline-looking subtree hide a block?" for
+# almost every node — a parse-time bit turns that from an O(subtree)
+# scan into one mask test
+WATCH_BLOCK = 8
+BLOCK_TAG_NAMES = frozenset(
+    {
+        "address", "details", "figure", "footer",
+        "h1", "h2", "h3", "h4", "h5", "h6",
+        "ol", "p", "pre", "summary", "table", "ul",
+    }
+)
 _WATCH_BITS = {"img": WATCH_IMG, "inline-formula": WATCH_FORMULA, "table": WATCH_TABLE}
+for _t in BLOCK_TAG_NAMES:
+    _WATCH_BITS[_t] = _WATCH_BITS.get(_t, 0) | WATCH_BLOCK
 
 
 class Tag:

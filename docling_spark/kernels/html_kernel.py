@@ -20,7 +20,18 @@ from dataclasses import dataclass, replace
 from typing import Optional, Union
 from urllib.parse import urljoin
 
-from .dom import WATCH_FORMULA, WATCH_IMG, WATCH_TABLE, SkipNode, Soup, Tag, TextNode, parse_html
+from .dom import (
+    BLOCK_TAG_NAMES,
+    WATCH_BLOCK,
+    WATCH_FORMULA,
+    WATCH_IMG,
+    WATCH_TABLE,
+    SkipNode,
+    Soup,
+    Tag,
+    TextNode,
+    parse_html,
+)
 from .doc_model import (
     BODY,
     CAPTION,
@@ -35,13 +46,7 @@ from .doc_model import (
 from .hyperlinks import normalize_hyperlink
 
 # reference: html_backend.py:38-55
-BLOCK_TAGS = frozenset(
-    {
-        "address", "details", "figure", "footer",
-        "h1", "h2", "h3", "h4", "h5", "h6",
-        "ol", "p", "pre", "summary", "table", "ul",
-    }
-)
+BLOCK_TAGS = BLOCK_TAG_NAMES  # defined beside its parse-time watch bit
 
 # reference: html_backend.py:57
 CODE_TAGS = ("code", "kbd", "samp")
@@ -562,7 +567,7 @@ class HtmlExtractor:
                 elif name in BLOCK_TAGS:
                     flush_buffer()
                     self._handle_block(node, doc)
-                elif node.find(BLOCK_TAGS):
+                elif node.watch & WATCH_BLOCK:
                     flush_buffer()
                     self._walk(node, doc)
                 else:

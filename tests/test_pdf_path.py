@@ -593,3 +593,44 @@ def test_pdf_list_items_grouped():
     assert len(heads) == 11 and not any("MT/ST" in h for h in heads)
     md = to_markdown(doc)
     assert "\n- " in md  # items render as markdown list lines
+
+
+def test_page_blocks_never_lose_text():
+    """No-text-loss invariant: every word on a page survives into some
+    block's text or table cell, across randomized layouts (columns,
+    grids, scattered labels). Table absorption, furniture marking and
+    bold splitting may MOVE text, never drop it."""
+    import random
+
+    from docling_spark.kernels.pdf_kernel import PdfPage, TextCell
+    from docling_spark.kernels.pdf_layout import page_blocks
+
+    rng = random.Random(1234)
+    for trial in range(25):
+        page = PdfPage(1, 612.0, 792.0)
+        words = []
+        n = rng.randrange(5, 60)
+        for k in range(n):
+            word = f"w{trial}x{k}"
+            words.append(word)
+            layout = rng.randrange(4)
+            if layout == 0:  # body line, left column
+                x, y = 72 + rng.random() * 40, 90 + (k % 40) * 16
+            elif layout == 1:  # right column
+                x, y = 330 + rng.random() * 40, 90 + (k % 40) * 16
+            elif layout == 2:  # grid-ish region
+                x, y = 72 + (k % 4) * 120, 400 + (k // 4 % 10) * 14
+            else:  # scattered
+                x, y = 60 + rng.random() * 480, 80 + rng.random() * 640
+            # BOTTOMLEFT cells like the parser emits
+            page.cells.append(
+                TextCell(word, x, 792 - y - 9, x + 8 * len(word), 792 - y, 9.0,
+                         bold=rng.random() < 0.2)
+            )
+        blocks = page_blocks(page)
+        got = " ".join(
+            [b.text for b in blocks]
+            + [c.text for b in blocks if b.table for c in b.table.cells]
+        )
+        missing = [w for w in words if w not in got]
+        assert not missing, f"trial {trial}: lost {missing[:5]} of {n}"
