@@ -239,16 +239,16 @@ def test_real_world_pdf_fixtures_content_recall():
         # 0.97: geometry table reconstruction recovers the HPO table's
         # cell text into TableData (was 0.95 as loose text blocks)
         "2305.03393v1-pg9": 0.97,
-        "amt_handbook_sample": 0.97,
-        "code_and_formula": 0.97,
-        "multi_page": 0.97,
-        "picture_classification": 0.97,
-        "redp5110_sampled": 0.85,
+        "amt_handbook_sample": 0.98,
+        "code_and_formula": 0.98,
+        "multi_page": 0.98,
+        "picture_classification": 0.98,
+        "redp5110_sampled": 0.87,
         # RTL floors cover ARABIC words too (round-3 unicode regex;
         # the old [A-Za-z0-9] counter silently ignored them)
-        "right_to_left_01": 0.80,
-        "right_to_left_02": 0.75,
-        "right_to_left_03": 0.93,
+        "right_to_left_01": 0.81,
+        "right_to_left_02": 0.77,
+        "right_to_left_03": 0.94,
     }
 
     def words(s):
@@ -294,15 +294,17 @@ def test_real_world_pdf_fixtures_reading_order():
     sys.setrecursionlimit(20000)
     GT = Path("/root/reference/tests/data/groundtruth/docling_v2")
     floors = {
-        "2305.03393v1-pg9": 0.85,
-        "amt_handbook_sample": 0.95,
-        "code_and_formula": 0.96,
-        "multi_page": 0.97,
-        "picture_classification": 0.97,
-        "redp5110_sampled": 0.80,
-        "right_to_left_01": 0.75,
-        "right_to_left_02": 0.72,
-        "right_to_left_03": 0.42,  # form-table page: field/value order
+        "2305.03393v1-pg9": 0.87,
+        "amt_handbook_sample": 0.96,
+        "code_and_formula": 0.97,
+        "multi_page": 0.98,
+        "picture_classification": 0.99,
+        "redp5110_sampled": 0.82,  # residue: the reference's model-only
+        # code-block labels (unescaped underscores in fenced SQL) and
+        # its own /g-glyph garbage on the symbol-font bullet lists
+        "right_to_left_01": 0.76,
+        "right_to_left_02": 0.74,
+        "right_to_left_03": 0.44,  # form-table page: field/value order
         # needs the table-aware rb reading-order model
     }
 
