@@ -42,6 +42,7 @@ CONVERT_SCHEMA = StructType(
         StructField("n_nodes", IntegerType()),
         StructField("n_chunks", IntegerType()),
         StructField("doctags", StringType()),
+        StructField("json", StringType()),
         StructField("bytes_in", LongType()),
         StructField("ocr_needed", DoubleType()),
         StructField("t_sec", DoubleType()),
@@ -78,8 +79,17 @@ def _ext_of(url: str) -> str:
     return path[dot:].lower() if dot > slash else ""
 
 
-def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
-    """Route one document through the matching kernel; never raises."""
+def convert_one(
+    url: str,
+    payload: bytes,
+    want_doctags: bool = False,
+    want_json: bool = False,
+) -> dict:
+    """Route one document through the matching kernel; never raises.
+
+    ``want_json`` adds the lossless DoclingDocument JSON (E4,
+    kernels/docjson.export_to_dict) — off by default because the node
+    pool is the bulkiest export and most pipelines only read md/txt."""
     from docling_spark.kernels.chunker import hierarchical_chunks
     from docling_spark.kernels.csv_kernel import parse_csv
     from docling_spark.kernels.doctags import export_to_doctags
@@ -107,6 +117,7 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
         "bytes_in": len(payload),
         "n_chunks": 0,
         "doctags": None,
+        "json": None,
         "ocr_needed": None,
     }
     try:
@@ -242,6 +253,16 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
                 "t_sec": time.perf_counter() - t0,
             }
         chunks = hierarchical_chunks(doc)
+        json_out = None
+        if want_json:
+            import json as _json2
+
+            from docling_spark.kernels.docjson import export_to_dict
+
+            json_out = _json2.dumps(
+                export_to_dict(doc, filename=url, raw=payload),
+                ensure_ascii=False,
+            )
         return {
             **base,
             "status": "success",
@@ -251,6 +272,7 @@ def convert_one(url: str, payload: bytes, want_doctags: bool = False) -> dict:
             "n_nodes": len(doc.nodes),
             "n_chunks": len(chunks),
             "doctags": export_to_doctags(doc) if want_doctags else None,
+            "json": json_out,
             "t_sec": time.perf_counter() - t0,
         }
     except Exception as e:  # noqa: BLE001 — errors become data
@@ -270,6 +292,7 @@ def convert_any(
     content_col: str = "html",
     num_partitions: int | None = None,
     want_doctags: bool = False,
+    want_json: bool = False,
 ) -> DataFrame:
     """(url, <content binary>) of ANY supported format -> results."""
     import pandas as pd
@@ -288,6 +311,7 @@ def convert_any(
                     u,
                     bytes(p) if p is not None else b"",
                     want_doctags=want_doctags,
+                    want_json=want_json,
                 )
                 for u, p in zip(pdf["url"], pdf[content_col])
             ]

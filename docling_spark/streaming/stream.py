@@ -76,6 +76,38 @@ def run_available_now(
     return query.awaitTermination(timeout_sec)
 
 
+def convert_stream(pages_stream, num_partitions: int = 8):
+    """Streaming twin of operators.convert.convert_any: the unified
+    multi-format router (S4) under Structured Streaming — an
+    incremental crawl drop of mixed html/pdf/office/... bytes converts
+    exactly like the batch path (same kernels, same errors-as-data
+    rows), with checkpointed exactly-once file progress."""
+    from docling_spark.operators.convert import convert_any
+
+    return convert_any(pages_stream, num_partitions=num_partitions)
+
+
+def run_convert_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int = 8,
+    timeout_sec: int = 300,
+) -> bool:
+    """Drain-and-stop multi-format conversion with streaming resume."""
+    pages = read_pages_stream(spark, input_dir)
+    results = convert_stream(pages, num_partitions=num_partitions)
+    query = (
+        results.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return query.awaitTermination(timeout_sec)
+
+
 # ------------------------------------------- windowed event-time rollup
 
 def windowed_event_rollup(events, window: str = "1 hour", watermark: str = "30 minutes"):

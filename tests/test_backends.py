@@ -319,3 +319,26 @@ def test_doctags_otsl_vocabulary_and_labels():
     row2 = "<ucel><fcel>b<fcel>c<nl>"
     assert row0 + row1 + row2 in tags.replace("</otsl>", "")
     assert "<footnote>1   a source</footnote>" in tags
+
+
+def test_convert_one_want_json_all_formats():
+    """E4 through the router: want_json yields a valid DoclingDocument
+    JSON for every text-bearing format, table payloads included."""
+    import json
+
+    html = convert_one(
+        "https://x/e.html",
+        b"<html><body><h1>H</h1><p>t</p><table><tr><th>a</th><td>b</td></tr></table></body></html>",
+        want_json=True,
+    )
+    d = json.loads(html["json"])
+    assert d["schema_name"] == "DoclingDocument" and d["tables"]
+    pdf = convert_one(
+        "https://x/pg9.pdf",
+        _pl.Path("/root/reference/tests/data/pdf/2305.03393v1-pg9.pdf").read_bytes(),
+        want_json=True,
+    )
+    d2 = json.loads(pdf["json"])
+    assert len(d2["tables"]) == 1 and d2["texts"]
+    # off by default: no payload bloat in the standard row
+    assert convert_one("u", b"<html><body><p>x</p></body></html>")["json"] is None

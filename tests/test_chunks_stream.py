@@ -182,3 +182,45 @@ def test_stateful_dedup_stream_across_batches(spark, tmp_path):
     re_rows = out.filter(F.col("url").endswith("?recrawl=1")).collect()
     assert len(re_rows) == 10
     assert all(not r.is_first for r in re_rows)
+
+
+def test_streaming_convert_mixed_formats(spark, tmp_path):
+    """The unified router under Structured Streaming: a crawl drop of
+    mixed html/csv/pdf bytes converts with the same per-format rows as
+    the batch path, and a second drain is incremental."""
+    from docling_spark.sources.pages import synthesize_pages
+    from docling_spark.sources.pdfgen import synthesize_pdf_pages
+    from docling_spark.streaming.stream import run_convert_available_now
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    html = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=12).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    pdfs = (
+        synthesize_pdf_pages(spark, "/root/testdata/sf0.001", n_docs=6)
+        .select(
+            "url",
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.col("content").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    html.unionByName(pdfs).coalesce(2).write.mode("append").parquet(in_dir)
+    assert run_convert_available_now(spark, in_dir, out_dir, ckpt, num_partitions=4)
+    out = spark.read.parquet(out_dir)
+    by_fmt = {r["fmt"]: r["n"] for r in out.groupBy("fmt").agg(F.count("*").alias("n")).collect()}
+    assert by_fmt.get("html") == 12 and by_fmt.get("pdf") == 6
+    assert out.filter("status = 'success'").count() == 18
+
+    # incremental: one more file, only it converts
+    more = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=20).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).limit(20).exceptAll(html)
+    more.coalesce(1).write.mode("append").parquet(in_dir)
+    assert run_convert_available_now(spark, in_dir, out_dir, ckpt, num_partitions=4)
+    assert spark.read.parquet(out_dir).count() == 26
