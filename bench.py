@@ -121,6 +121,28 @@ def main() -> None:
     tmin: dict[str, float] = {}
     tmax: dict[str, float] = {}
 
+    def snapshot(n_pages: int, n_ok: int, t_extract: float, partial: bool) -> dict:
+        out = {
+            "metric": "headline_suite_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": dict(timings),
+            "queries_min": dict(tmin),
+            "queries_max": dict(tmax),
+            "repeats": REPEATS,
+            "sf": SF_DIR.rstrip("/").split("/")[-1],
+            "n_pages": n_pages,
+            "extract_success": n_ok,
+            "docs_per_sec": round(n_pages / t_extract, 1) if t_extract else 0.0,
+            "cpus": CPUS,
+        }
+        if partial:
+            # progressive snapshot: if the harness kills a long run, the
+            # LAST complete line still carries every finished phase
+            out["partial"] = True
+        print(json.dumps(out), flush=True)
+        return out
+
     # ---- flagship: extraction throughput ----
     pages = spark.read.parquet(pages_path)
     n_ok_box = [0]
@@ -139,6 +161,7 @@ def main() -> None:
     tmax["extract"] = round(hi, 3)
     t_extract = med
     n_ok = n_ok_box[0]
+    snapshot(n_pages, n_ok, t_extract, partial=True)
 
     # ---- headline companion queries (sf-dir relational + dedup + ann) ----
     qs = entrymod.queries()
@@ -157,23 +180,9 @@ def main() -> None:
         timings[name] = round(med, 3)
         tmin[name] = round(lo, 3)
         tmax[name] = round(hi, 3)
+        snapshot(n_pages, n_ok, t_extract, partial=True)
 
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_suite_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "queries_min": tmin,
-        "queries_max": tmax,
-        "repeats": REPEATS,
-        "sf": SF_DIR.rstrip("/").split("/")[-1],
-        "n_pages": n_pages,
-        "extract_success": n_ok,
-        "docs_per_sec": round(n_pages / t_extract, 1),
-        "cpus": CPUS,
-    }
-    print(json.dumps(out))
+    snapshot(n_pages, n_ok, t_extract, partial=False)
     spark.stop()
 
 
