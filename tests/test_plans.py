@@ -206,3 +206,32 @@ def test_simhash_bucket_occupancy_bounded(spark):
     # only true near-dup clusters may share a 26-bit key; the corpus
     # has pairs, so the bound is small, never a corpus-fraction bucket
     assert max_occ <= 4
+
+
+def test_convert_any_single_exchange(spark, pages_path):
+    """The unified multi-format router has the same hot-path shape as
+    extract: scan -> ONE url-hash Exchange -> one Arrow python stage.
+    A second shuffle or a stray row-wise BatchEvalPython would double
+    the network cost of every crawl conversion at 100 TB."""
+    from docling_spark.operators.convert import convert_any
+
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(convert_any(pages.select("url", "html"), num_partitions=8))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_media_features_single_exchange(spark):
+    """Media feature extraction: one media_id-hash Exchange, one
+    mapInPandas; payload bytes never route through a JVM-side
+    aggregation."""
+    from docling_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    feats = extract_media_features(synth_media(spark, 64))
+    plan = _plan(feats)
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
