@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet", choices=("parquet", "iceberg"))
     p.add_argument("--limit-bytes", type=int, default=64 << 20,
                    help="max html size; larger rows become status='skipped'")
+    p.add_argument("--router", action="store_true",
+                   help="run the unified multi-format router (S4, "
+                        "operators/convert.py) instead of the HTML-only "
+                        "extractor: a mixed html/pdf/office/xml crawl "
+                        "converts in one job, same lineage/resume/metrics")
     return p
 
 
@@ -82,7 +87,12 @@ def run(spark, args) -> dict:
     pages_ok = gated.filter(F.col("gate_status") == "accepted").drop("gate_status")
 
     t0 = time.perf_counter()
-    results = extract_pages(pages_ok, num_partitions=args.partitions)
+    if args.router:
+        from docling_spark.operators.convert import convert_any
+
+        results = convert_any(pages_ok, num_partitions=args.partitions)
+    else:
+        results = extract_pages(pages_ok, num_partitions=args.partitions)
 
     # one materialization, three outputs: results, lineage, metrics.
     # persist() avoids re-running the extraction kernel per sink. The
@@ -98,6 +108,9 @@ def run(spark, args) -> dict:
 
     write_lineage(results, args.lineage, attempt=args.attempt)
     if args.metrics:
+        # convert rows carry the same url/status/t_sec/n_nodes/bytes_in
+        # metric columns as extract rows, so one metrics schema serves
+        # both modes
         metrics_table(results).write.mode("append").parquet(args.metrics)
 
     # skipped rows are lineage-recorded once: new skips anti-join the

@@ -24,7 +24,7 @@ def _spark_submit() -> str:
     return os.path.join(pyspark.__path__[0], "bin", "spark-submit")
 
 
-def _run_job(zip_path, input_dir, out, lineage, metrics=None, resume=False, attempt=0):
+def _run_job(zip_path, input_dir, out, lineage, metrics=None, resume=False, attempt=0, router=False):
     cmd = [
         _spark_submit(),
         "--master", "local[4]",
@@ -42,6 +42,8 @@ def _run_job(zip_path, input_dir, out, lineage, metrics=None, resume=False, atte
         cmd += ["--metrics", str(metrics)]
     if resume:
         cmd += ["--resume"]
+    if router:
+        cmd += ["--router"]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, timeout=600, cwd=str(REPO)
     )
@@ -87,3 +89,42 @@ def test_spark_submit_pyfiles_and_resume(spark, pages_input, tmp_path):
     assert stats2["n_extracted"] == 0
     # results table unchanged (append of empty frame)
     assert spark.read.parquet(str(out)).count() == 48
+
+
+def test_spark_submit_router_mode(spark, tmp_path):
+    """--router runs the unified multi-format converter through the
+    SAME spark-submit surface: a mixed html/pdf crawl converts with
+    per-format rows, lineage recorded, resume processes zero docs."""
+    from pyspark.sql import functions as F
+
+    from docling_spark.sources.pages import synthesize_pages
+    from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+    zip_path = tmp_path / "docling_spark.zip"
+    subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "package_pyfiles.py"), str(zip_path)],
+        check=True,
+    )
+    in_dir = tmp_path / "pages"
+    html = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=20)
+    pdfs = synthesize_pdf_pages(spark, "/root/testdata/sf0.001", n_docs=10).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    html.unionByName(pdfs).write.mode("overwrite").parquet(str(in_dir))
+
+    out, lineage = tmp_path / "out", tmp_path / "lineage"
+    stats = _run_job(zip_path, in_dir, out, lineage, router=True)
+    assert stats["n_extracted"] == 30 and stats["n_failed"] == 0
+
+    res = spark.read.parquet(str(out))
+    fmts = {r["fmt"]: r["n"] for r in
+            res.groupBy("fmt").agg(F.count("*").alias("n")).collect()}
+    assert fmts.get("html") == 20 and fmts.get("pdf") == 10
+
+    stats2 = _run_job(zip_path, in_dir, out, lineage, router=True,
+                      resume=True, attempt=1)
+    assert stats2["n_extracted"] == 0
