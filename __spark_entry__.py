@@ -202,6 +202,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ch = chunks.chunk_pages(pages, mode="hybrid", max_tokens=128)
         return chunks.chunk_stats(ch)
 
+    def x_chunks_router(spark, sf_dir):
+        """E6 over the FULL router: one chunking pass on a mixed
+        html+pdf crawl (the embedding-pipeline input shape)."""
+        from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+        html = synthesize_pages(spark, sf_dir).limit(150).select("url", "html")
+        pdfs = synthesize_pdf_pages(spark, sf_dir, n_docs=50).select(
+            "url", F.col("content").alias("html")
+        )
+        ch = chunks.chunk_pages(
+            html.unionByName(pdfs), router=True, mode="hybrid", max_tokens=128
+        )
+        return chunks.chunk_stats(ch)
+
     def x_enrich_code(spark, sf_dir):
         """V6 enrichment driver over the extracted corpus: code spans
         -> heuristic language tag -> per-language rollup (explode ->
@@ -510,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_multimodal_pages": x_multimodal_pages,
         "x_pdf_confidence": x_pdf_confidence,
         "x_chunks": x_chunks,
+        "x_chunks_router": x_chunks_router,
         "x_enrich_code": x_enrich_code,
         "x_convert_mixed": x_convert_mixed,
         "x_convert_all": x_convert_all,

@@ -37,8 +37,14 @@ def chunk_pages(
     mode: str = "hybrid",
     max_tokens: int = 128,
     num_partitions: int | None = None,
+    router: bool = False,
 ) -> DataFrame:
-    """(url, html) -> chunk rows; mode in {'hierarchical', 'hybrid'}."""
+    """(url, <payload>) -> chunk rows; mode in {'hierarchical', 'hybrid'}.
+
+    ``router=True`` dispatches each payload through the full S4 format
+    router (operators/convert.route_to_doc) instead of assuming HTML —
+    one chunking job over a mixed html/pdf/office/xml crawl, the shape
+    an embedding/training pipeline actually feeds."""
     import pandas as pd
 
     sel = df.select("url", content_col)
@@ -60,17 +66,25 @@ def chunk_pages(
 
         if sys.getrecursionlimit() < 20000:
             sys.setrecursionlimit(20000)
+        from docling_spark.operators.convert import route_to_doc
+
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf[content_col]):
                 try:
-                    doc = HtmlExtractor(original_url=url).convert(
-                        bytes(payload) if payload is not None else b""
-                    )
+                    raw = bytes(payload) if payload is not None else b""
+                    if router:
+                        _row, doc = route_to_doc(url, raw)
+                    else:
+                        doc = HtmlExtractor(original_url=url).convert(raw)
                     chunks = (
-                        hybrid_chunks(doc, max_tokens=max_tokens)
-                        if mode == "hybrid"
-                        else hierarchical_chunks(doc)
+                        (
+                            hybrid_chunks(doc, max_tokens=max_tokens)
+                            if mode == "hybrid"
+                            else hierarchical_chunks(doc)
+                        )
+                        if doc is not None
+                        else []
                     )
                 except Exception:  # noqa: BLE001 — bad doc -> no chunks
                     chunks = []

@@ -79,28 +79,20 @@ def _ext_of(url: str) -> str:
     return path[dot:].lower() if dot > slash else ""
 
 
-def convert_one(
-    url: str,
-    payload: bytes,
-    want_doctags: bool = False,
-    want_json: bool = False,
-) -> dict:
-    """Route one document through the matching kernel; never raises.
+def route_to_doc(url: str, payload: bytes) -> tuple[dict, "object | None"]:
+    """S4 dispatch without exports: (row, doc).
 
-    ``want_json`` adds the lossless DoclingDocument JSON (E4,
-    kernels/docjson.export_to_dict) — off by default because the node
-    pool is the bulkiest export and most pipelines only read md/txt."""
-    from docling_spark.kernels.chunker import hierarchical_chunks
+    ``doc`` is the parsed Doc IR for successful routes; for skip and
+    failure outcomes ``doc`` is None and ``row`` is already a COMPLETE
+    result row. Shared by convert_one (full exports) and the
+    multi-format chunker (which wants the Doc, not the exports)."""
     from docling_spark.kernels.csv_kernel import parse_csv
-    from docling_spark.kernels.doctags import export_to_doctags
     from docling_spark.kernels.docx_kernel import parse_docx
     from docling_spark.kernels.html_kernel import HtmlExtractor
-    from docling_spark.kernels.markdown import to_markdown
     from docling_spark.kernels.md_kernel import parse_markdown
     from docling_spark.kernels.pdf_kernel import parse_pdf
     from docling_spark.kernels.pdf_layout import build_doc
     from docling_spark.kernels.pptx_kernel import parse_pptx
-    from docling_spark.kernels.textout import to_text
     from docling_spark.kernels.xlsx_kernel import parse_xlsx
     from docling_spark.operators.formats import office_subformat
 
@@ -159,7 +151,7 @@ def convert_one(
                     "txt": None,
                     "n_nodes": 0,
                     "t_sec": time.perf_counter() - t0,
-                }
+                }, None
         elif fmt == "pdf":
             from docling_spark.kernels.pdf_kernel import bitmap_coverage
 
@@ -194,7 +186,7 @@ def convert_one(
                     "txt": None,
                     "n_nodes": 0,
                     "t_sec": time.perf_counter() - t0,
-                }
+                }, None
         elif fmt == "csv":
             doc = parse_csv(payload, name=url)
         elif fmt == "json_docling":
@@ -226,7 +218,7 @@ def convert_one(
                     "txt": None,
                     "n_nodes": 0,
                     "t_sec": time.perf_counter() - t0,
-                }
+                }, None
             from docling_spark.kernels.doc_model import Doc
 
             doc = Doc(url)
@@ -251,7 +243,42 @@ def convert_one(
                 "txt": None,
                 "n_nodes": 0,
                 "t_sec": time.perf_counter() - t0,
-            }
+            }, None
+        base["t_sec"] = time.perf_counter() - t0
+        return base, doc
+    except Exception as e:  # noqa: BLE001 — errors become data
+        return {
+            **base,
+            "status": "failure",
+            "error": f"{type(e).__name__}: {e}"[:500],
+            "md": None,
+            "txt": None,
+            "n_nodes": 0,
+            "t_sec": time.perf_counter() - t0,
+        }, None
+
+
+def convert_one(
+    url: str,
+    payload: bytes,
+    want_doctags: bool = False,
+    want_json: bool = False,
+) -> dict:
+    """Route one document through the matching kernel; never raises.
+
+    ``want_json`` adds the lossless DoclingDocument JSON (E4,
+    kernels/docjson.export_to_dict) — off by default because the node
+    pool is the bulkiest export and most pipelines only read md/txt."""
+    t0 = time.perf_counter()
+    base, doc = route_to_doc(url, payload or b"")
+    if doc is None:
+        return base
+    try:
+        from docling_spark.kernels.chunker import hierarchical_chunks
+        from docling_spark.kernels.doctags import export_to_doctags
+        from docling_spark.kernels.markdown import to_markdown
+        from docling_spark.kernels.textout import to_text
+
         chunks = hierarchical_chunks(doc)
         json_out = None
         if want_json:
@@ -260,7 +287,7 @@ def convert_one(
             from docling_spark.kernels.docjson import export_to_dict
 
             json_out = _json2.dumps(
-                export_to_dict(doc, filename=url, raw=payload),
+                export_to_dict(doc, filename=url, raw=payload or b""),
                 ensure_ascii=False,
             )
         return {

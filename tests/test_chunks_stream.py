@@ -224,3 +224,26 @@ def test_streaming_convert_mixed_formats(spark, tmp_path):
     more.coalesce(1).write.mode("append").parquet(in_dir)
     assert run_convert_available_now(spark, in_dir, out_dir, ckpt, num_partitions=4)
     assert spark.read.parquet(out_dir).count() == 26
+
+
+def test_chunk_pages_router_mixed_formats(spark):
+    """router=True chunks a MIXED crawl (html + pdf) in one pass: every
+    doc yields chunks, budgets hold, and pdf chunks carry pdf headings."""
+    from pyspark.sql import functions as F
+
+    from docling_spark.operators.chunks import chunk_pages
+    from docling_spark.sources.pages import synthesize_pages
+    from docling_spark.sources.pdfgen import synthesize_pdf_pages
+
+    html = synthesize_pages(spark, "/root/testdata/sf0.001", n_pages=8).select(
+        "url", "html"
+    )
+    pdfs = synthesize_pdf_pages(spark, "/root/testdata/sf0.001", n_docs=4).select(
+        "url", F.col("content").alias("html")
+    )
+    ch = chunk_pages(html.unionByName(pdfs), router=True, max_tokens=64).cache()
+    assert ch.select("url").distinct().count() == 12
+    assert ch.agg(F.max("n_tokens")).collect()[0][0] <= 64
+    pdf_chunks = ch.filter(F.col("url").contains("pdf.example.com"))
+    assert pdf_chunks.count() > 0
+    assert pdf_chunks.filter(F.size("headings") > 0).count() > 0
