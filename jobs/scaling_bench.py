@@ -88,19 +88,59 @@ def measure(cpus: int, path: str, n_pages: int) -> float:
     return n_pages / best
 
 
+def _run_level(cpus: int, path: str, n_pages: int) -> float:
+    """One parallelism level in an isolated, CPU-PINNED subprocess.
+
+    Affinity is the honest part of the protocol: local[8] on an idle
+    32-core host otherwise runs its 8 threads on whichever cores boost
+    highest with 24 cores idle and zero memory-bandwidth contention —
+    advantages a real 8-core executor never has — which inflates the
+    N-level baseline and understates N->4N efficiency. Pinning the
+    whole process tree (Spark JVM + python workers inherit the mask)
+    to exactly ``cpus`` cores models separate cluster sizes on one box.
+    """
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--level", str(cpus), "--path", path,
+         "--n-pages", str(n_pages)],
+        capture_output=True, text=True, timeout=1800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-2000:])
+    return float(proc.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
+    if "--level" in sys.argv:
+        import argparse
+
+        ap = argparse.ArgumentParser()
+        ap.add_argument("--level", type=int, required=True)
+        ap.add_argument("--path", required=True)
+        ap.add_argument("--n-pages", type=int, required=True)
+        args = ap.parse_args()
+        try:
+            os.sched_setaffinity(0, set(range(args.level)))
+        except (AttributeError, OSError):
+            pass  # non-linux: unpinned fallback
+        print(measure(args.level, args.path, args.n_pages))
+        return
+
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
     path = ensure_corpus(n_pages)
     out: dict = {"n_pages": n_pages, "sf": SF_DIR.rstrip("/").split("/")[-1]}
     levels = {}
     for cpus in (8, 32, 16):
-        levels[cpus] = round(measure(cpus, path, n_pages), 1)
-        print(f"# local[{cpus}]: {levels[cpus]} docs/s", file=sys.stderr, flush=True)
+        levels[cpus] = round(_run_level(cpus, path, n_pages), 1)
+        print(f"# local[{cpus}] pinned to {cpus} cores: {levels[cpus]} docs/s",
+              file=sys.stderr, flush=True)
     out["docs_per_sec"] = {str(k): v for k, v in levels.items()}
     out["efficiency_8_to_32"] = round(levels[32] / (4 * levels[8]), 3)
     out["efficiency_8_to_16"] = round(levels[16] / (2 * levels[8]), 3)
     out["headline_pair"] = "8->32"
     out["efficiency"] = out["efficiency_8_to_32"]
+    out["protocol"] = "per-level subprocess pinned via sched_setaffinity"
     print(json.dumps(out))
 
 
