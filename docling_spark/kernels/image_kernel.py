@@ -25,17 +25,22 @@ class ImageError(Exception):
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """(w, h, channels, 8-bit samples) for PNG and GIF via the stdlib
-    decoders in kernels/raster.py (zlib inflate + unfilter; LZW).
+    """(w, h, channels, 8-bit samples) for PNG, GIF and baseline JPEG
+    via the stdlib decoders in kernels/raster.py and kernels/jpeg.py
+    (zlib inflate + unfilter; LZW; T.81 baseline huffman + IDCT).
 
-    JPEG/WebP/TIFF-compressed remain an explicit stub: their entropy
-    coders need a codec library this sandbox does not have."""
+    Progressive JPEG / WebP / TIFF-compressed remain an explicit stub:
+    their coders need a codec library this sandbox does not have."""
     head = payload[:8]
-    if head == b"\x89PNG\r\n\x1a\n" or payload[:6] in (b"GIF87a", b"GIF89a"):
+    if (
+        head == b"\x89PNG\r\n\x1a\n"
+        or payload[:6] in (b"GIF87a", b"GIF89a")
+        or payload[:3] == b"\xff\xd8\xff"
+    ):
         from .raster import decode_image
 
         return decode_image(payload)
-    raise NotImplementedError("no stdlib decoder for this format (jpeg/webp/tiff)")
+    raise NotImplementedError("no stdlib decoder for this format (webp/tiff)")
 
 
 def _tiff_frames(data: bytes) -> list[tuple[int, int]]:

@@ -1,0 +1,576 @@
+"""Baseline JPEG (SOF0/SOF1) decoder and a minimal encoder, stdlib+numpy.
+
+The reference decodes images through PIL before feeding them to its
+PDF/image pipeline (docling/backend/pdf_backend.py:56-90,
+docling/datamodel/base_models.py Page.image). This sandbox has no PIL,
+so this module implements the baseline JPEG process of the public
+ITU-T T.81 spec from scratch: marker parse, canonical Huffman entropy
+decode (with byte unstuffing and restart markers), dequantization,
+vectorized 8x8 inverse DCT over all blocks at once, chroma upsampling
+and JFIF YCbCr->RGB. Progressive (SOF2) and arithmetic-coded streams
+raise :class:`JpegError` and fall back to the caller's metadata-only
+path.
+
+The encoder exists to make the decoder testable without any external
+codec: it writes a valid baseline 4:4:4 (or grayscale) JFIF stream
+using fixed-length Huffman tables and a flat quantization table, so an
+encode->decode roundtrip bounds per-pixel error by the quantizer step.
+Tables are embedded in the file, so no Annex-K constants are needed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(Exception):
+    pass
+
+
+def _zigzag() -> np.ndarray:
+    """Zigzag scan order: index i -> (row, col) flattened offset."""
+    order = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(diag)
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis C: forward F = C f C^T, inverse
+    f = C^T F C."""
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_C = _dct_basis()
+
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 64) dequantized natural-order coefficients -> (n, 8, 8)
+    spatial samples (still centered on 0)."""
+    f = coefs.reshape(-1, 8, 8)
+    return np.einsum("ur,nuv,vc->nrc", _C, f, _C, optimize=True)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    f = np.einsum("ur,nrc,vc->nuv", _C, blocks, _C, optimize=True)
+    return f.reshape(-1, 64)
+
+
+class _Huffman:
+    """Canonical JPEG Huffman table with a flat 16-bit lookup."""
+
+    __slots__ = ("lut_sym", "lut_len")
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+        self.lut_len = np.zeros(1 << 16, dtype=np.uint8)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                sym = symbols[k]
+                k += 1
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                self.lut_sym[lo:hi] = sym
+                self.lut_len[lo:hi] = length
+                code += 1
+            code <<= 1
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "bx", "by", "coefs")
+
+    def __init__(self, cid: int, h: int, v: int, tq: int):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JFIF/EXIF JPEG.
+
+    Returns ``(width, height, channels, samples)`` with 8-bit samples
+    row-major, matching :func:`raster.decode_image`'s contract.
+    Raises :class:`JpegError` for progressive/arithmetic/12-bit or
+    malformed streams.
+    """
+    if data[:3] != b"\xff\xd8\xff":
+        raise JpegError("not a jpeg")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huffman] = {}
+    huff_ac: dict[int, _Huffman] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    adobe_transform = None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                qt[tq] = vals
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+            if seg[0] != 8:
+                raise JpegError("only 8-bit precision supported")
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(_Component(cid, hv >> 4, hv & 15, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline (SOF0/SOF1) jpeg supported")
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = seg[p + 17 : p + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _Huffman(counts, symbols)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11] if len(seg) > 11 else None
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                sel[cid] = (tabs >> 4, tabs & 15)
+            scan_start = i + 2 + seg_len
+            _decode_scan(data, scan_start, comps, sel, huff_dc, huff_ac,
+                         width, height, restart_interval)
+            break
+        i += 2 + seg_len
+    if not comps or not width:
+        raise JpegError("no frame decoded")
+    return _reconstruct(comps, qt, width, height, adobe_transform)
+
+
+def _decode_scan(data, pos, comps, sel, huff_dc, huff_ac, width, height,
+                 restart_interval):
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c.bx = mcus_x * c.h
+        c.by = mcus_y * c.v
+        c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+    single = len(comps) == 1
+    if single:
+        # non-interleaved single-component scan: MCU is one block
+        c = comps[0]
+        c.bx = -(-width // 8)
+        c.by = -(-height // 8)
+        c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+        mcus_x, mcus_y = c.bx, c.by
+    # Hot loop: bit-reader state and Huffman LUTs live in locals; blocks
+    # accumulate in Python lists (numpy scalar stores are ~10x slower).
+    n = len(data)
+    buf = 0
+    nbits = 0
+    # per-component (dc_sym, dc_len, ac_sym, ac_len, coef_list, h*v)
+    tabs = []
+    for c in comps:
+        dc = huff_dc[sel[c.cid][0]]
+        ac = huff_ac[sel[c.cid][1]]
+        tabs.append((dc.lut_sym.tolist(), dc.lut_len.tolist(),
+                     ac.lut_sym.tolist(), ac.lut_len.tolist(),
+                     [], 1 if single else c.h * c.v))
+    preds = [0] * len(comps)
+    pad = 0  # zero bytes injected past real data; bounded in valid streams
+    mcu_count = 0
+    total_mcus = mcus_x * mcus_y
+    while mcu_count < total_mcus:
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            # resync: drop partial bits, skip past the RST marker
+            buf = 0
+            nbits = 0
+            while pos + 1 < n:
+                if data[pos] == 0xFF and 0xD0 <= data[pos + 1] <= 0xD7:
+                    pos += 2
+                    break
+                pos += 1
+            preds = [0] * len(comps)
+            pad = 0  # padding before a restart marker is legitimate
+        mcu_count += 1
+        for ci, (dc_sym, dc_len, ac_sym, ac_len, out, reps) in enumerate(tabs):
+            for _ in range(reps):
+                block = [0] * 64
+                # -- DC --
+                while nbits < 16:
+                    if pos < n:
+                        b = data[pos]
+                        if b == 0xFF:
+                            if pos + 1 < n and data[pos + 1] == 0x00:
+                                pos += 2
+                            else:
+                                buf <<= 8
+                                nbits += 8
+                                pad += 1
+                                continue
+                        else:
+                            pos += 1
+                        buf = (buf << 8) | b
+                    else:
+                        buf <<= 8
+                        pad += 1
+                    nbits += 8
+                peek = (buf >> (nbits - 16)) & 0xFFFF
+                t = dc_sym[peek]
+                length = dc_len[peek]
+                if length == 0:
+                    raise JpegError("invalid huffman code")
+                nbits -= length
+                if t:
+                    while nbits < t:
+                        if pos < n:
+                            b = data[pos]
+                            if b == 0xFF:
+                                if pos + 1 < n and data[pos + 1] == 0x00:
+                                    pos += 2
+                                else:
+                                    buf <<= 8
+                                    nbits += 8
+                                    pad += 1
+                                    continue
+                            else:
+                                pos += 1
+                            buf = (buf << 8) | b
+                        else:
+                            buf <<= 8
+                            pad += 1
+                        nbits += 8
+                    nbits -= t
+                    v = (buf >> nbits) & ((1 << t) - 1)
+                    diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    preds[ci] += diff
+                buf &= (1 << nbits) - 1
+                block[0] = preds[ci]
+                # -- AC --
+                k = 1
+                while k < 64:
+                    while nbits < 16:
+                        if pos < n:
+                            b = data[pos]
+                            if b == 0xFF:
+                                if pos + 1 < n and data[pos + 1] == 0x00:
+                                    pos += 2
+                                else:
+                                    buf <<= 8
+                                    nbits += 8
+                                    pad += 1
+                                    continue
+                            else:
+                                pos += 1
+                            buf = (buf << 8) | b
+                        else:
+                            buf <<= 8
+                            pad += 1
+                        nbits += 8
+                    peek = (buf >> (nbits - 16)) & 0xFFFF
+                    rs = ac_sym[peek]
+                    length = ac_len[peek]
+                    if length == 0:
+                        raise JpegError("invalid huffman code")
+                    nbits -= length
+                    s = rs & 15
+                    if s == 0:
+                        buf &= (1 << nbits) - 1
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise JpegError("AC index out of range")
+                    while nbits < s:
+                        if pos < n:
+                            b = data[pos]
+                            if b == 0xFF:
+                                if pos + 1 < n and data[pos + 1] == 0x00:
+                                    pos += 2
+                                else:
+                                    buf <<= 8
+                                    nbits += 8
+                                    pad += 1
+                                    continue
+                            else:
+                                pos += 1
+                            buf = (buf << 8) | b
+                        else:
+                            buf <<= 8
+                            pad += 1
+                        nbits += 8
+                    nbits -= s
+                    v = (buf >> nbits) & ((1 << s) - 1)
+                    buf &= (1 << nbits) - 1
+                    block[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                    k += 1
+                out.append(block)
+    # A valid stream pads at most a few zero bytes at the very end (the
+    # final 16-bit peek); a truncated file pads its way through every
+    # remaining MCU — fail typed instead of returning gray garbage.
+    if pad > 6:
+        raise JpegError("truncated entropy-coded data")
+    # Scatter decoded blocks into each component's raster block grid.
+    for ci, c in enumerate(comps):
+        out = tabs[ci][4]
+        arr = np.array(out, dtype=np.int32)
+        if single:
+            c.coefs = arr
+            continue
+        # out is MCU-major: for each MCU, h*v blocks row-major within it
+        h, v = c.h, c.v
+        arr = arr.reshape(mcus_y, mcus_x, v, h, 64)
+        c.coefs = arr.transpose(0, 2, 1, 3, 4).reshape(c.by * c.bx, 64)
+
+
+def _reconstruct(comps, qt, width, height, adobe_transform):
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        q = qt[c.tq]
+        deq = (c.coefs * q[None, :]).astype(np.float64)
+        natural = np.zeros_like(deq)
+        natural[:, ZIGZAG] = deq
+        spatial = _idct_blocks(natural) + 128.0
+        # (by*bx, 8, 8) -> (by*8, bx*8)
+        plane = (
+            spatial.reshape(c.by, c.bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.by * 8, c.bx * 8)
+        )
+        if c.h != hmax or c.v != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c.v, axis=0),
+                              hmax // c.h, axis=1)
+        planes.append(plane[:height, :width])
+    if len(planes) == 1:
+        out = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    if len(planes) == 3:
+        y, cb, cr = planes
+        if adobe_transform == 0:
+            r, g, b = y, cb, cr  # Adobe transform 0: plain RGB
+        else:
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        out = np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+        return width, height, 3, out.tobytes()
+    raise JpegError(f"unsupported component count {len(planes)}")
+
+
+# ---------------------------------------------------------------- encoder
+
+def _fixed_huffman(symbols: list[int]) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """Fixed-length canonical table over the given symbol set: every
+    code is L bits with 2**L > len(symbols), so the all-ones code stays
+    unused (T.81 C.2). Returns (counts, symbols, {sym: (code, length)})."""
+    n = len(symbols)
+    length = max(2, (n + 1).bit_length())
+    counts = [0] * 16
+    counts[length - 1] = n
+    codes = {sym: (idx, length) for idx, sym in enumerate(symbols)}
+    return counts, bytes(symbols), codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.buf >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.buf &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _encode_block(bw_, block, pred, dc_codes, ac_codes) -> int:
+    """Entropy-encode one quantized zigzag block; returns its DC value."""
+    dc = int(block[0])
+    diff = dc - pred
+    t = abs(diff).bit_length()
+    code, length = dc_codes[t]
+    bw_.write(code, length)
+    if t:
+        bw_.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = np.nonzero(block[1:])[0]
+    last = last_nz[-1] + 1 if len(last_nz) else 0
+    for k in range(1, last + 1):
+        v = int(block[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw_.write(code, length)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        bw_.write(code, length)
+        bw_.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, length = ac_codes[0x00]
+        bw_.write(code, length)
+    return dc
+
+
+def encode_jpeg(width: int, height: int, channels: int, samples: bytes,
+                quant: int = 4, subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Minimal baseline JFIF encoder with a flat quantizer of step
+    ``quant``; exists to roundtrip-test the decoder. ``subsample=True``
+    emits 4:2:0 chroma (2x2-averaged); ``restart_interval`` emits DRI +
+    RSTn markers every that many MCUs."""
+    img = np.frombuffer(samples, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    elif channels == 1:
+        planes = [img[..., 0]]
+    else:
+        raise JpegError("encoder supports 1 or 3 channels")
+    if subsample and channels == 3:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # 2x2 box-average chroma on an even-padded grid
+        for ci in (1, 2):
+            p = planes[ci]
+            p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            planes[ci] = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        samp = [(1, 1)] * len(planes)
+    qtable = np.full(64, quant, dtype=np.int32)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # quantized zigzag coefficients per plane, on the MCU-aligned grid
+    plane_coefs = []
+    grids = []
+    for (h, v), p in zip(samp, planes):
+        gw, gh = mcus_x * h, mcus_y * v  # blocks across / down
+        padded = np.pad(
+            p,
+            ((0, gh * 8 - p.shape[0]), (0, gw * 8 - p.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            padded.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coefs = _fdct_blocks(blocks)
+        # ZIGZAG maps zigzag-index -> natural offset, so indexing natural
+        # coefficients at ZIGZAG positions yields zigzag-ordered output
+        qz = np.round(coefs / qtable[None, :]).astype(np.int32)[:, ZIGZAG]
+        plane_coefs.append(qz)
+        grids.append((gw, gh))
+
+    dc_syms = list(range(12))
+    ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+    dc_counts, dc_symbytes, dc_codes = _fixed_huffman(dc_syms)
+    ac_counts, ac_symbytes, ac_codes = _fixed_huffman(ac_syms)
+
+    bw_ = _BitWriter()
+    preds = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, qz in enumerate(plane_coefs):
+                h, v = samp[ci]
+                gw = grids[ci][0]
+                for dy in range(v):
+                    for dx in range(h):
+                        idx = (my * v + dy) * gw + (mx * h + dx)
+                        preds[ci] = _encode_block(bw_, qz[idx], preds[ci],
+                                                  dc_codes, ac_codes)
+    bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qtable.astype(np.uint8)))
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbytes)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbytes)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -386,12 +386,20 @@ def encode_gif_gray(w: int, h: int, pixels: bytes) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """PNG or GIF -> (w, h, channels, samples); RasterError otherwise
-    (JPEG/WebP/TIFF need a codec this sandbox does not have)."""
+    """PNG, GIF or baseline JPEG -> (w, h, channels, samples);
+    RasterError otherwise (progressive JPEG / WebP / TIFF need a codec
+    this sandbox does not have)."""
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:3] == b"\xff\xd8\xff":
+        from .jpeg import JpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except JpegError as e:
+            raise RasterError(f"jpeg: {e}") from e
     raise RasterError("no stdlib decoder for this format")
 
 

@@ -72,17 +72,32 @@ def sniff_mime(payload: bytes) -> str:
 
 
 def _synth_payload(i: int) -> tuple[str, bytes]:
-    """(kind, payload) for media_id i: REAL PNG (i%4==0), REAL WAV
-    (i%4==1), fake webm (i%4==2, no stdlib video container), REAL GIF
-    (i%4==3). Image/audio payloads are valid files the real decoders
-    parse; only video (and the jpeg/webp crawl formats) stub."""
-    if i % 4 == 0:  # real 8-bit gray PNG, deterministic gradient
+    """(kind, payload) for media_id i: REAL PNG or baseline JPEG
+    (i%4==0, alternating), REAL WAV (i%4==1), fake webm (i%4==2, no
+    stdlib video container), REAL GIF (i%4==3). Image/audio payloads
+    are valid files the real decoders parse; only video (and the
+    webp/tiff crawl formats) stub."""
+    if i % 4 == 0:  # real image: 8-bit gray PNG / color baseline JPEG
         import numpy as np
-
-        from docling_spark.kernels.pdf_kernel import encode_png_gray
 
         w, h = 48 + i % 64, 32 + i % 48
         yy, xx = np.mgrid[0:h, 0:w]
+        if (i // 4) % 2:  # real 4:2:0 color JPEG via the T.81 encoder
+            from docling_spark.kernels.jpeg import encode_jpeg
+
+            rgb = np.stack(
+                [
+                    (xx * 3 + i) % 256,
+                    (yy * 5 + i) % 256,
+                    (xx + yy * 2 + i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            return "image", encode_jpeg(
+                w, h, 3, rgb.tobytes(), quant=4, subsample=True
+            )
+        from docling_spark.kernels.pdf_kernel import encode_png_gray
+
         img = ((xx * 3 + yy * 5 + i) % 256).astype(np.uint8)
         return "image", encode_png_gray(img)
     if i % 4 == 1:  # real PCM WAV, 100 ms of deterministic samples
@@ -107,8 +122,8 @@ def _synth_payload(i: int) -> tuple[str, bytes]:
 
 
 def synth_media(spark, n: int = 256) -> DataFrame:
-    """Deterministic media corpus: REAL PNG/GIF/WAV payloads (decoded
-    for real downstream) + fake video bytes (stub path)."""
+    """Deterministic media corpus: REAL PNG/JPEG/GIF/WAV payloads
+    (decoded for real downstream) + fake video bytes (stub path)."""
 
     def gen(batches):
         import pandas as pd
@@ -132,8 +147,8 @@ def synth_media(spark, n: int = 256) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB: stands in for a codec this container lacks (JPEG/WebP
-    entropy decode, video demux).
+    """STUB: stands in for a codec this container lacks (WebP/TIFF
+    entropy decode, progressive JPEG, video demux).
 
     Deterministic fake: dimensions and an 8-dim 'embedding' derived
     from the payload digest. Rows produced this way carry
@@ -174,8 +189,9 @@ def _grid_feature_np(w: int, h: int, channels: int, samples: bytes) -> list[floa
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches: the real plan
     shape for decode/resize/frame-sample at scale (one Python worker per
-    core, payload bytes never hit the driver). PNG/GIF decode for real;
-    everything else falls back to the stub with ``decoded = false``."""
+    core, payload bytes never hit the driver). PNG/GIF/baseline-JPEG
+    decode for real; everything else falls back to the stub with
+    ``decoded = false``."""
 
     def run(batches):
         import pandas as pd

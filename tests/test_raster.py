@@ -230,15 +230,24 @@ def test_gif_encoder_decoder_roundtrip():
 # ----------------------------------------------- kernel + Spark path
 
 
-def test_decode_pixels_png_gif_real_jpeg_stubbed():
+def test_decode_pixels_png_gif_jpeg_real_webp_stubbed():
     from docling_spark.kernels.image_kernel import decode_pixels
+    from docling_spark.kernels.jpeg import encode_jpeg
     from docling_spark.kernels.pdf_kernel import encode_png_gray
+    from docling_spark.kernels.raster import RasterError
 
     img = np.full((10, 20), 128, dtype=np.uint8)
     w, h, c, s = decode_pixels(encode_png_gray(img))
     assert (w, h, c) == (20, 10, 1) and set(s) == {128}
-    with pytest.raises(NotImplementedError):
+    w, h, c, s = decode_pixels(encode_jpeg(20, 10, 1, img.tobytes(), quant=2))
+    assert (w, h, c) == (20, 10, 1)
+    assert max(abs(b - 128) for b in s) <= 4
+    # malformed jpeg: decode is attempted for real and fails typed
+    with pytest.raises(RasterError):
         decode_pixels(b"\xff\xd8\xff rest of a jpeg")
+    # webp/tiff remain the explicit no-codec stub
+    with pytest.raises(NotImplementedError):
+        decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_media_features_decoded_flag(spark):
