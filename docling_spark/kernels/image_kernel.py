@@ -25,12 +25,13 @@ class ImageError(Exception):
 
 
 def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """(w, h, channels, 8-bit samples) for PNG, GIF and baseline JPEG
-    via the stdlib decoders in kernels/raster.py and kernels/jpeg.py
-    (zlib inflate + unfilter; LZW; T.81 baseline huffman + IDCT).
+    """(w, h, channels, 8-bit samples) for PNG, GIF and JPEG (baseline
+    + progressive) via the stdlib decoders in kernels/raster.py and
+    kernels/jpeg.py (zlib inflate + unfilter; LZW; T.81 huffman
+    sequential and Annex-G progressive + IDCT).
 
-    Progressive JPEG / WebP / TIFF-compressed remain an explicit stub:
-    their coders need a codec library this sandbox does not have."""
+    WebP / TIFF-compressed remain an explicit stub: their coders need
+    a codec library this sandbox does not have."""
     head = payload[:8]
     if (
         head == b"\x89PNG\r\n\x1a\n"

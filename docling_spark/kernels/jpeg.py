@@ -1,21 +1,26 @@
-"""Baseline JPEG (SOF0/SOF1) decoder and a minimal encoder, stdlib+numpy.
+"""JPEG decoder (baseline SOF0/SOF1 + progressive SOF2) and a minimal
+encoder, stdlib+numpy.
 
 The reference decodes images through PIL before feeding them to its
 PDF/image pipeline (docling/backend/pdf_backend.py:56-90,
 docling/datamodel/base_models.py Page.image). This sandbox has no PIL,
-so this module implements the baseline JPEG process of the public
+so this module implements the huffman-coded processes of the public
 ITU-T T.81 spec from scratch: marker parse, canonical Huffman entropy
-decode (with byte unstuffing and restart markers), dequantization,
-vectorized 8x8 inverse DCT over all blocks at once, chroma upsampling
-and JFIF YCbCr->RGB. Progressive (SOF2) and arithmetic-coded streams
-raise :class:`JpegError` and fall back to the caller's metadata-only
-path.
+decode (with byte unstuffing and restart markers), progressive
+spectral-selection + successive-approximation scans (Annex G: EOB
+runs, ZRL, refinement correction bits), dequantization, vectorized
+8x8 inverse DCT over all blocks at once, chroma upsampling and JFIF
+YCbCr->RGB. Arithmetic-coded, hierarchical and 12-bit streams raise
+:class:`JpegError` and fall back to the caller's metadata-only path.
 
 The encoder exists to make the decoder testable without any external
-codec: it writes a valid baseline 4:4:4 (or grayscale) JFIF stream
-using fixed-length Huffman tables and a flat quantization table, so an
-encode->decode roundtrip bounds per-pixel error by the quantizer step.
-Tables are embedded in the file, so no Annex-K constants are needed.
+codec: it writes valid baseline or progressive JFIF streams (4:4:4 or
+4:2:0, grayscale or color, optional restart markers) using
+fixed-length Huffman tables and a flat quantization table, so an
+encode->decode roundtrip bounds per-pixel error by the quantizer
+step, and a baseline and a progressive stream of the same image must
+decode byte-identically. Tables are embedded in the file, so no
+Annex-K constants are needed.
 """
 
 from __future__ import annotations
@@ -91,19 +96,96 @@ class _Huffman:
             code <<= 1
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "bx", "by", "coefs")
+    __slots__ = ("cid", "h", "v", "tq", "dc", "ac", "bx", "by", "coefs",
+                 "bw_c", "bh_c")
 
     def __init__(self, cid: int, h: int, v: int, tq: int):
         self.cid, self.h, self.v, self.tq = cid, h, v, tq
 
 
+class _ScanBits:
+    """Bit reader for one entropy-coded scan: 0xFF00 unstuffing, RST
+    resync, zero-padding at stream end with a truncation counter."""
+
+    __slots__ = ("d", "n", "pos", "buf", "nbits", "pad")
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.n, self.pos = data, len(data), pos
+        self.buf = 0
+        self.nbits = 0
+        self.pad = 0
+
+    def _fill(self, need: int) -> None:
+        d, n = self.d, self.n
+        while self.nbits < need:
+            if self.pos < n:
+                b = d[self.pos]
+                if b == 0xFF:
+                    if self.pos + 1 < n and d[self.pos + 1] == 0x00:
+                        self.pos += 2
+                    else:  # marker: pad without consuming
+                        self.buf <<= 8
+                        self.nbits += 8
+                        self.pad += 1
+                        continue
+                else:
+                    self.pos += 1
+                self.buf = (self.buf << 8) | b
+            else:
+                self.buf <<= 8
+                self.pad += 1
+            self.nbits += 8
+
+    def read(self, cnt: int) -> int:
+        if cnt == 0:
+            return 0
+        self._fill(cnt)
+        self.nbits -= cnt
+        v = (self.buf >> self.nbits) & ((1 << cnt) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, tab: _Huffman) -> int:
+        self._fill(16)
+        peek = (self.buf >> (self.nbits - 16)) & 0xFFFF
+        length = tab.lut_len[peek]
+        if length == 0:
+            raise JpegError("invalid huffman code")
+        self.nbits -= length
+        self.buf &= (1 << self.nbits) - 1
+        return int(tab.lut_sym[peek])
+
+    def resync(self) -> None:
+        self.buf = 0
+        self.nbits = 0
+        self.pad = 0  # padding before a restart marker is legitimate
+        d, n = self.d, self.n
+        while self.pos + 1 < n:
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        self.pos = n
+
+    def next_marker(self) -> int:
+        """Index of the next marker (0xFF byte) at/after the scan end."""
+        d, n = self.d, self.n
+        p = self.pos
+        while p + 1 < n:
+            if d[p] == 0xFF and d[p + 1] != 0x00:
+                return p
+            p += 1
+        return n
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JFIF/EXIF JPEG.
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JFIF/EXIF
+    JPEG.
 
     Returns ``(width, height, channels, samples)`` with 8-bit samples
     row-major, matching :func:`raster.decode_image`'s contract.
-    Raises :class:`JpegError` for progressive/arithmetic/12-bit or
-    malformed streams.
+    Raises :class:`JpegError` for arithmetic-coded/hierarchical/12-bit
+    or malformed streams.
     """
     if data[:3] != b"\xff\xd8\xff":
         raise JpegError("not a jpeg")
@@ -114,6 +196,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = 0
     restart_interval = 0
     adobe_transform = None
+    progressive = False
+    mcus_x = mcus_y = 0
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -142,17 +226,34 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int32)
                     p += 64
                 qt[tq] = vals
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline+extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise JpegError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("only baseline (SOF0/SOF1) jpeg supported")
+            if progressive:
+                # coefficients accumulate across scans: allocate the
+                # MCU-padded grids (and each component's own block grid
+                # for non-interleaved scans) up front
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                for c in comps:
+                    c.bx = mcus_x * c.h
+                    c.by = mcus_y * c.v
+                    c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+                    comp_w = -(-(width * c.h) // hmax)
+                    comp_h = -(-(height * c.v) // vmax)
+                    c.bw_c = -(-comp_w // 8)
+                    c.bh_c = -(-comp_h // 8)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("only baseline/progressive huffman jpeg supported")
         elif marker == 0xC4:  # DHT
             p = 0
             while p + 17 <= len(seg):
@@ -169,10 +270,21 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 15)
+                order.append(cid)
             scan_start = i + 2 + seg_len
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                scan_comps = [c for cid in order for c in comps if c.cid == cid]
+                i = _decode_prog_scan(
+                    data, scan_start, scan_comps, sel, huff_dc, huff_ac,
+                    restart_interval, ss, se, ahal >> 4, ahal & 15,
+                    mcus_x, mcus_y,
+                )
+                continue
             _decode_scan(data, scan_start, comps, sel, huff_dc, huff_ac,
                          width, height, restart_interval)
             break
@@ -362,6 +474,158 @@ def _decode_scan(data, pos, comps, sel, huff_dc, huff_ac, width, height,
         c.coefs = arr.transpose(0, 2, 1, 3, 4).reshape(c.by * c.bx, 64)
 
 
+def _decode_prog_scan(data, pos, scan_comps, sel, huff_dc, huff_ac,
+                      restart_interval, ss, se, ah, al, mcus_x, mcus_y):
+    """One progressive scan (T.81 Annex G): DC/AC first or refinement
+    pass over the pre-allocated coefficient grids. Returns the stream
+    index of the marker following the scan's entropy-coded data."""
+    bits = _ScanBits(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise JpegError("progressive DC scan with Se != 0")
+        _prog_dc_scan(bits, scan_comps, sel, huff_dc, restart_interval,
+                      ah, al, mcus_x, mcus_y)
+    else:
+        if len(scan_comps) != 1:
+            raise JpegError("progressive AC scan must be non-interleaved")
+        c = scan_comps[0]
+        actab = huff_ac[sel[c.cid][1]]
+        if ah == 0:
+            _prog_ac_first(bits, c, actab, restart_interval, ss, se, al)
+        else:
+            _prog_ac_refine(bits, c, actab, restart_interval, ss, se, al)
+    if bits.pad > 6:
+        raise JpegError("truncated entropy-coded data")
+    return bits.next_marker()
+
+
+def _prog_dc_scan(bits, scan_comps, sel, huff_dc, ri, ah, al,
+                  mcus_x, mcus_y):
+    interleaved = len(scan_comps) > 1
+    if not interleaved:
+        c = scan_comps[0]
+        units_x, units_y = c.bw_c, c.bh_c
+    else:
+        units_x, units_y = mcus_x, mcus_y
+    preds = {c.cid: 0 for c in scan_comps}
+    tabs = {c.cid: huff_dc[sel[c.cid][0]] for c in scan_comps} if ah == 0 else {}
+    unit = 0
+    for uy in range(units_y):
+        for ux in range(units_x):
+            if ri and unit and unit % ri == 0:
+                bits.resync()
+                preds = {c.cid: 0 for c in scan_comps}
+            unit += 1
+            for c in scan_comps:
+                reps = c.h * c.v if interleaved else 1
+                for b in range(reps):
+                    if interleaved:
+                        bx = ux * c.h + (b % c.h)
+                        by = uy * c.v + (b // c.h)
+                    else:
+                        bx, by = ux, uy
+                    idx = by * c.bx + bx
+                    if ah == 0:
+                        t = bits.huff(tabs[c.cid])
+                        v = bits.read(t)
+                        diff = (
+                            v if t == 0 or v >= (1 << (t - 1))
+                            else v - (1 << t) + 1
+                        )
+                        preds[c.cid] += diff
+                        c.coefs[idx, 0] = preds[c.cid] << al
+                    elif bits.read(1):
+                        # refinement: one bit sharpens the approximation
+                        c.coefs[idx, 0] |= 1 << al
+    return
+
+
+def _prog_ac_first(bits, c, actab, ri, ss, se, al):
+    coefs = c.coefs
+    bw_c, stride = c.bw_c, c.bx
+    eobrun = 0
+    total = c.bw_c * c.bh_c
+    for bi in range(total):
+        if ri and bi and bi % ri == 0:
+            bits.resync()
+            eobrun = 0
+        if eobrun:
+            eobrun -= 1
+            continue
+        by, bx = divmod(bi, bw_c)
+        row = coefs[by * stride + bx]
+        k = ss
+        while k <= se:
+            rs = bits.huff(actab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1 + bits.read(r)
+                break
+            k += r
+            if k > se:
+                raise JpegError("AC index out of band")
+            v = bits.read(s)
+            row[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
+            k += 1
+
+
+def _prog_ac_refine(bits, c, actab, ri, ss, se, al):
+    """AC successive-approximation refinement (T.81 G.1.2.3): newly
+    nonzero coefficients arrive as +/-2^al; already-nonzero ones take a
+    correction bit toward the true value."""
+    coefs = c.coefs
+    bw_c, stride = c.bw_c, c.bx
+    p1 = 1 << al
+    eobrun = 0
+    total = c.bw_c * c.bh_c
+    for bi in range(total):
+        if ri and bi and bi % ri == 0:
+            bits.resync()
+            eobrun = 0
+        by, bx = divmod(bi, bw_c)
+        row = coefs[by * stride + bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = bits.huff(actab)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + bits.read(r)
+                        break
+                    # ZRL: advance over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise JpegError("bad refinement magnitude")
+                    val = p1 if bits.read(1) else -p1
+                while k <= se:
+                    ck = int(row[k])
+                    if ck != 0:
+                        if bits.read(1) and (abs(ck) & p1) == 0:
+                            row[k] = ck + (p1 if ck > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    row[k] = val
+                k += 1
+        if eobrun > 0:
+            # rest of the band takes correction bits only
+            while k <= se:
+                ck = int(row[k])
+                if ck != 0:
+                    if bits.read(1) and (abs(ck) & p1) == 0:
+                        row[k] = ck + (p1 if ck > 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+
 def _reconstruct(comps, qt, width, height, adobe_transform):
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -468,13 +732,154 @@ def _encode_block(bw_, block, pred, dc_codes, ac_codes) -> int:
     return dc
 
 
+def _encode_prog_scan(plane_coefs, grids, comp_grids, samp, mcus_x, mcus_y,
+                      cs, ss, se, ah, al, dc_codes, ac_codes) -> bytes:
+    """Entropy-coded data for one progressive scan (T.81 Annex G
+    encoder side, mirroring the decoder in _decode_prog_scan)."""
+    bw_ = _BitWriter()
+    if ss == 0:
+        interleaved = len(cs) > 1
+        if interleaved:
+            units_x, units_y = mcus_x, mcus_y
+        else:
+            units_x, units_y = comp_grids[cs[0]]
+        preds = {ci: 0 for ci in cs}
+        for uy in range(units_y):
+            for ux in range(units_x):
+                for ci in cs:
+                    h, v = samp[ci]
+                    gw = grids[ci][0]
+                    reps = h * v if interleaved else 1
+                    for b in range(reps):
+                        if interleaved:
+                            bx = ux * h + (b % h)
+                            by = uy * v + (b // h)
+                        else:
+                            bx, by = ux, uy
+                        dc = int(plane_coefs[ci][by * gw + bx, 0])
+                        if ah == 0:
+                            t_val = dc >> al  # arithmetic shift
+                            diff = t_val - preds[ci]
+                            preds[ci] = t_val
+                            t = abs(diff).bit_length()
+                            code, length = dc_codes[t]
+                            bw_.write(code, length)
+                            if t:
+                                bw_.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << t) - 1, t,
+                                )
+                        else:
+                            bw_.write((dc >> al) & 1, 1)
+        bw_.flush()
+        return bytes(bw_.out)
+
+    ci = cs[0]
+    qz = plane_coefs[ci]
+    gw = grids[ci][0]
+    bw_c, bh_c = comp_grids[ci]
+    state = {"eobrun": 0, "be": []}
+
+    def flush_eobrun():
+        e = state["eobrun"]
+        if e > 0:
+            nbits = e.bit_length() - 1
+            code, length = ac_codes[nbits << 4]
+            bw_.write(code, length)
+            if nbits:
+                bw_.write(e & ((1 << nbits) - 1), nbits)
+            for bit in state["be"]:
+                bw_.write(bit, 1)
+            state["eobrun"] = 0
+            state["be"] = []
+
+    for bi in range(bw_c * bh_c):
+        by, bx = divmod(bi, bw_c)
+        row = qz[by * gw + bx]
+        if ah == 0:
+            # first pass over this spectral band
+            temp = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            if not any(temp):
+                state["eobrun"] += 1
+                if state["eobrun"] == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            last = max(i for i, t in enumerate(temp) if t)
+            r = 0
+            for i in range(last + 1):
+                t = temp[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    bw_.write(code, length)
+                    r -= 16
+                s = t.bit_length()
+                code, length = ac_codes[(r << 4) | s]
+                bw_.write(code, length)
+                v = int(row[ss + i])
+                bw_.write(t if v >= 0 else ((1 << s) - 1) - t, s)
+                r = 0
+            if last < se - ss:
+                state["eobrun"] += 1
+        else:
+            # refinement pass: correction bits for known coefficients,
+            # (r, 1) symbols for newly nonzero ones
+            temp = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            eob_pos = -1
+            for i, t in enumerate(temp):
+                if t == 1:
+                    eob_pos = i
+            r = 0
+            br = []
+            for i, t in enumerate(temp):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_pos:
+                    flush_eobrun()
+                    code, length = ac_codes[0xF0]
+                    bw_.write(code, length)
+                    r -= 16
+                    for bit in br:
+                        bw_.write(bit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                code, length = ac_codes[(r << 4) | 1]
+                bw_.write(code, length)
+                bw_.write(1 if int(row[ss + i]) >= 0 else 0, 1)
+                for bit in br:
+                    bw_.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                state["eobrun"] += 1
+                state["be"].extend(br)
+                if state["eobrun"] == 0x7FFF or len(state["be"]) > 900:
+                    flush_eobrun()
+    flush_eobrun()
+    bw_.flush()
+    return bytes(bw_.out)
+
+
 def encode_jpeg(width: int, height: int, channels: int, samples: bytes,
                 quant: int = 4, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Minimal baseline JFIF encoder with a flat quantizer of step
-    ``quant``; exists to roundtrip-test the decoder. ``subsample=True``
-    emits 4:2:0 chroma (2x2-averaged); ``restart_interval`` emits DRI +
-    RSTn markers every that many MCUs."""
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Minimal JFIF encoder with a flat quantizer of step ``quant``;
+    exists to roundtrip-test the decoder. ``subsample=True`` emits
+    4:2:0 chroma (2x2-averaged); ``restart_interval`` emits DRI + RSTn
+    markers every that many MCUs; ``progressive=True`` emits an SOF2
+    stream (DC first+refine, two AC spectral bands first+refine per
+    component) coding the same coefficients, so baseline and
+    progressive streams of one image decode byte-identically."""
+    if progressive and restart_interval:
+        raise JpegError("progressive encoder does not emit restarts")
     img = np.frombuffer(samples, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
     if channels == 3:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
@@ -524,9 +929,55 @@ def encode_jpeg(width: int, height: int, channels: int, samples: bytes,
         grids.append((gw, gh))
 
     dc_syms = list(range(12))
-    ac_syms = sorted({0x00, 0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)})
+    # every run/size pair incl. EOBn (s=0, r<=14) and ZRL (0xF0)
+    ac_syms = sorted((r << 4) | s for r in range(16) for s in range(11))
     dc_counts, dc_symbytes, dc_codes = _fixed_huffman(dc_syms)
     ac_counts, ac_symbytes, ac_codes = _fixed_huffman(ac_syms)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    nc = len(planes)
+    header = bytearray(b"\xff\xd8")
+    header += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    header += seg(0xDB, bytes([0x00]) + bytes(qtable.astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
+    for ci in range(nc):
+        h, v = samp[ci]
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    header += seg(0xC2 if progressive else 0xC0, sof)
+    if restart_interval:
+        header += seg(0xDD, struct.pack(">H", restart_interval))
+    header += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbytes)
+    header += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbytes)
+
+    if progressive:
+        comp_grids = []
+        for ci in range(nc):
+            h, v = samp[ci]
+            comp_w = -(-(width * h) // hmax)
+            comp_h = -(-(height * v) // vmax)
+            comp_grids.append((-(-comp_w // 8), -(-comp_h // 8)))
+        out = header
+        all_cs = list(range(nc))
+        script = [(all_cs, 0, 0, 0, 1)]
+        script += [([ci], 1, 5, 0, 1) for ci in range(nc)]
+        script += [([ci], 6, 63, 0, 1) for ci in range(nc)]
+        script += [(all_cs, 0, 0, 1, 0)]
+        script += [([ci], 1, 5, 1, 0) for ci in range(nc)]
+        script += [([ci], 6, 63, 1, 0) for ci in range(nc)]
+        for cs, ss, se, ah, al in script:
+            sos = bytes([len(cs)])
+            for ci in cs:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([ss, se, (ah << 4) | al])
+            out += seg(0xDA, sos)
+            out += _encode_prog_scan(
+                plane_coefs, grids, comp_grids, samp, mcus_x, mcus_y,
+                cs, ss, se, ah, al, dc_codes, ac_codes,
+            )
+        out += b"\xff\xd9"
+        return bytes(out)
 
     bw_ = _BitWriter()
     preds = [0] * len(planes)
@@ -550,22 +1001,7 @@ def encode_jpeg(width: int, height: int, channels: int, samples: bytes,
                                                   dc_codes, ac_codes)
     bw_.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(qtable.astype(np.uint8)))
-    nc = len(planes)
-    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([nc])
-    for ci in range(nc):
-        h, v = samp[ci]
-        sof += bytes([ci + 1, (h << 4) | v, 0])
-    out += seg(0xC0, sof)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + dc_symbytes)
-    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + ac_symbytes)
+    out = header
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])

@@ -386,9 +386,9 @@ def encode_gif_gray(w: int, h: int, pixels: bytes) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """PNG, GIF or baseline JPEG -> (w, h, channels, samples);
-    RasterError otherwise (progressive JPEG / WebP / TIFF need a codec
-    this sandbox does not have)."""
+    """PNG, GIF or JPEG (baseline + progressive) -> (w, h, channels,
+    samples); RasterError otherwise (WebP / TIFF need a codec this
+    sandbox does not have)."""
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):

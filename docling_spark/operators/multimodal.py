@@ -94,7 +94,8 @@ def _synth_payload(i: int) -> tuple[str, bytes]:
                 axis=-1,
             ).astype(np.uint8)
             return "image", encode_jpeg(
-                w, h, 3, rgb.tobytes(), quant=4, subsample=True
+                w, h, 3, rgb.tobytes(), quant=4, subsample=True,
+                progressive=bool((i // 8) % 2),  # half SOF0, half SOF2
             )
         from docling_spark.kernels.pdf_kernel import encode_png_gray
 
@@ -148,7 +149,7 @@ def synth_media(spark, n: int = 256) -> DataFrame:
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB: stands in for a codec this container lacks (WebP/TIFF
-    entropy decode, progressive JPEG, video demux).
+    entropy decode, video demux).
 
     Deterministic fake: dimensions and an 8-dim 'embedding' derived
     from the payload digest. Rows produced this way carry

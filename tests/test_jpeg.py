@@ -110,13 +110,70 @@ def test_real_reference_fixture():
     assert 0.005 < (lum < 64).mean() < 0.2
 
 
-def test_progressive_rejected():
-    """SOF2 streams raise JpegError (and RasterError through the
-    dispatcher), landing callers on the metadata-only stub path."""
+def test_progressive_matches_baseline():
+    """An SOF2 stream of the same image (spectral selection +
+    successive approximation) codes the same coefficients, so the
+    decoded pixels must be byte-identical to the baseline stream's."""
+    img = _test_image()
+    h, w = img.shape[:2]
+    for sub in (False, True):
+        base = decode_jpeg(
+            encode_jpeg(w, h, 3, img.tobytes(), quant=4, subsample=sub)
+        )
+        prog = decode_jpeg(
+            encode_jpeg(
+                w, h, 3, img.tobytes(), quant=4, subsample=sub,
+                progressive=True,
+            )
+        )
+        assert base == prog
+
+
+def test_progressive_grayscale_and_edges():
+    """Grayscale SOF2 plus off-grid sizes (component grid smaller than
+    the MCU-padded grid) decode identically to baseline."""
+    g = (np.arange(45 * 61, dtype=np.uint64) * 37 % 256).astype(np.uint8)
+    assert decode_jpeg(
+        encode_jpeg(61, 45, 1, g.tobytes(), quant=2, progressive=True)
+    ) == decode_jpeg(encode_jpeg(61, 45, 1, g.tobytes(), quant=2))
+    for w, h in [(17, 15), (9, 7), (24, 3)]:
+        im = ((np.arange(w * h * 3, dtype=np.uint64) * 29) % 256).astype(
+            np.uint8
+        )
+        for sub in (False, True):
+            b = decode_jpeg(
+                encode_jpeg(w, h, 3, im.tobytes(), quant=2, subsample=sub)
+            )
+            p = decode_jpeg(
+                encode_jpeg(
+                    w, h, 3, im.tobytes(), quant=2, subsample=sub,
+                    progressive=True,
+                )
+            )
+            assert b == p, (w, h, sub)
+
+
+def test_progressive_eob_and_refinement_stress():
+    """Dense-coefficient (ZRL/refinement-heavy) and flat (long EOB run)
+    images through the progressive path."""
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    assert decode_jpeg(
+        encode_jpeg(80, 64, 3, noise.tobytes(), quant=8, progressive=True)
+    ) == decode_jpeg(encode_jpeg(80, 64, 3, noise.tobytes(), quant=8))
+    flat = np.full((48, 120, 3), 200, dtype=np.uint8)
+    assert decode_jpeg(
+        encode_jpeg(120, 48, 3, flat.tobytes(), quant=4, progressive=True)
+    ) == decode_jpeg(encode_jpeg(120, 48, 3, flat.tobytes(), quant=4))
+
+
+def test_arithmetic_coded_rejected():
+    """SOF9 (arithmetic sequential) raises JpegError (and RasterError
+    through the dispatcher), landing callers on the metadata path."""
     img = _test_image(24, 16)
     enc = bytearray(encode_jpeg(24, 16, 3, img.tobytes()))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     with pytest.raises(JpegError):
         decode_jpeg(bytes(enc))
     with pytest.raises(RasterError):
