@@ -52,12 +52,76 @@ def test_gif_roundtrip_random_planes(w, h, seed):
 @given(data=st.binary(max_size=400))
 def test_decode_image_total_on_garbage(data):
     """Arbitrary bytes: RasterError or a self-consistent decode."""
-    for payload in (data, b"\x89PNG\r\n\x1a\n" + data, b"GIF89a" + data):
+    for payload in (
+        data,
+        b"\x89PNG\r\n\x1a\n" + data,
+        b"GIF89a" + data,
+        b"\xff\xd8\xff" + data,
+    ):
         try:
             w, h, c, s = decode_image(payload)
             assert w > 0 and h > 0 and len(s) == w * h * c
         except RasterError:
             pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+    quant=st.integers(1, 8),
+    sub=st.booleans(),
+)
+def test_jpeg_roundtrip_error_bounded(w, h, seed, quant, sub):
+    """encode -> decode keeps every LUMINANCE sample within a bound
+    proportional to the quantizer step for ANY image (chroma blurs
+    under 4:2:0 by design, luma must not)."""
+    from docling_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+    ww, hh, cc, s = decode_jpeg(
+        encode_jpeg(w, h, 3, img.tobytes(), quant=quant, subsample=sub)
+    )
+    assert (ww, hh, cc) == (w, h, 3)
+    dec = np.frombuffer(s, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    lum = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    # the luma bound only holds where no channel clipped: at a clipped
+    # pixel, subsampled-chroma error leaks into recomputed luminance
+    # (lum(clip(rgb(Y,Cb,Cr))) != Y).  Unclipped, lum(rgb(Y,Cb,Cr)) == Y
+    # exactly, so the error is the Y-coefficient error alone: worst case
+    # all 64 coefficient errors (quant/2 each) align on one sample ->
+    # 8*quant spatial bound, plus rounding slack.
+    unclipped = ((dec > 0) & (dec < 255)).all(axis=-1)
+    err = np.abs(lum(dec) - lum(img.astype(float)))
+    if unclipped.any():
+        assert err[unclipped].max() <= 8 * quant + 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+def test_jpeg_progressive_equals_baseline(w, h, seed, sub):
+    """SOF2 streams code the same coefficients as SOF0, so the decoded
+    bytes must be identical for ANY image/size/sampling."""
+    from docling_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+    base = decode_jpeg(
+        encode_jpeg(w, h, 3, img.tobytes(), quant=4, subsample=sub)
+    )
+    prog = decode_jpeg(
+        encode_jpeg(
+            w, h, 3, img.tobytes(), quant=4, subsample=sub, progressive=True
+        )
+    )
+    assert base == prog
 
 
 # ------------------------------------------------------ format sniffing
