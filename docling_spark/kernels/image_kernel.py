@@ -3,14 +3,15 @@
 Reference semantics: an IMAGE input is converted to a (multi-page for
 multi-frame TIFF) PDF and fed to the PDF backend
 (/root/reference/docling/backend/pdf_backend.py:56-90 via PIL). This
-sandbox has no PIL, so the adaptation keeps the *structure* real and
-stubs the codec: image headers are parsed natively (dimensions + frame
-count for TIFF/WebP/PNG/JPEG/GIF), each frame becomes a PdfPage whose
-full area is one bitmap rect (exactly what PIL's image-PDF wrapping
+sandbox has no PIL, so the codecs are implemented from the public
+specs instead: PNG (zlib+unfilter), GIF (LZW), JPEG baseline +
+progressive (T.81), TIFF uncompressed/PackBits/LZW (TIFF 6.0). Each
+frame becomes a PdfPage whose full area is one bitmap rect carrying
+the real decoded luma plane (exactly what PIL's image-PDF wrapping
 produces: a single full-page image XObject, no text), and the P10 OCR
-decision then reports full-page coverage. Pixel decoding is the
-explicit stub: :func:`decode_pixels` raises NotImplementedError until a
-codec is available.
+decision then reports full-page coverage. Only WebP's VP8 coder
+remains a stub (:func:`decode_pixels` raises NotImplementedError for
+it); those frames keep a pixel-less bitmap rect.
 """
 
 from __future__ import annotations
@@ -24,15 +25,21 @@ class ImageError(Exception):
     pass
 
 
-def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """(w, h, channels, 8-bit samples) for PNG, GIF and JPEG (baseline
-    + progressive) via the stdlib decoders in kernels/raster.py and
-    kernels/jpeg.py (zlib inflate + unfilter; LZW; T.81 huffman
-    sequential and Annex-G progressive + IDCT).
+def decode_pixels(payload: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
+    """(w, h, channels, 8-bit samples) for PNG, GIF, JPEG (baseline +
+    progressive) and TIFF (uncompressed / PackBits / LZW) via the
+    stdlib decoders in kernels/raster.py, kernels/jpeg.py and
+    kernels/tiff.py (zlib inflate + unfilter; LZW; T.81 huffman
+    sequential and Annex-G progressive + IDCT; TIFF 6.0 strips).
+    ``page`` selects the frame of a multi-page TIFF.
 
-    WebP / TIFF-compressed remain an explicit stub: their coders need
-    a codec library this sandbox does not have."""
+    WebP remains an explicit stub: its VP8 coder needs a codec library
+    this sandbox does not have."""
     head = payload[:8]
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload, page)
     if (
         head == b"\x89PNG\r\n\x1a\n"
         or payload[:6] in (b"GIF87a", b"GIF89a")
@@ -41,7 +48,7 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         from .raster import decode_image
 
         return decode_image(payload)
-    raise NotImplementedError("no stdlib decoder for this format (webp/tiff)")
+    raise NotImplementedError("no stdlib decoder for this format (webp)")
 
 
 def _tiff_frames(data: bytes) -> list[tuple[int, int]]:
@@ -157,14 +164,26 @@ def image_frames(payload: bytes) -> list[tuple[int, int]]:
     raise ImageError("unsupported image format")
 
 
-def image_to_pdf_pages(payload: bytes) -> list[PdfPage]:
+def image_to_pdf_pages(payload: bytes, with_pixels: bool = True) -> list[PdfPage]:
     """IMAGE -> PDF-path pages: one PdfPage per frame, zero text cells,
     one full-page bitmap rect — the exact page shape PIL's image-PDF
-    conversion hands the reference's PDF backend."""
+    conversion hands the reference's PDF backend. When a stdlib decoder
+    exists (PNG/GIF/JPEG/TIFF) the rect carries the real decoded luma
+    plane; WebP frames keep a pixel-less rect (codec stub)."""
     pages = []
     for i, (w, h) in enumerate(image_frames(payload)):
         page = PdfPage(i + 1, float(w), float(h))
         page.bitmap_rects.append((0.0, 0.0, float(w), float(h)))
+        pix = None
+        if with_pixels:
+            try:
+                pw, ph, ch, samples = decode_pixels(payload, page=i)
+                from .raster import luminance_plane
+
+                pix = (pw, ph, luminance_plane(pw, ph, ch, samples))
+            except Exception:
+                pix = None  # codec stub (webp) or malformed frame
+        page.bitmap_pixels.append(pix)
         pages.append(page)
     return pages
 

@@ -186,7 +186,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     row-major, matching :func:`raster.decode_image`'s contract.
     Raises :class:`JpegError` for arithmetic-coded/hierarchical/12-bit
     or malformed streams.
+
+    Total over arbitrary bytes: any malformed stream raises
+    :class:`JpegError`, never a raw ``struct.error``/``IndexError``/
+    ``KeyError`` — callers in the Spark extraction path rely on the
+    typed contract to turn a bad crawl image into an error row instead
+    of a task kill.
     """
+    try:
+        return _decode_jpeg_inner(data)
+    except JpegError:
+        raise
+    except (struct.error, IndexError, KeyError, ValueError) as e:
+        raise JpegError(f"malformed jpeg: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:3] != b"\xff\xd8\xff":
         raise JpegError("not a jpeg")
     qt: dict[int, np.ndarray] = {}
@@ -198,6 +213,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     adobe_transform = None
     progressive = False
     mcus_x = mcus_y = 0
+    seq_seen: set[int] = set()
     i = 2
     while i + 4 <= len(data):
         if data[i] != 0xFF:
@@ -213,6 +229,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xD9:  # EOI
             break
         (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        if seg_len < 2:
+            raise JpegError("segment length < 2")
         seg = data[i + 4 : i + 2 + seg_len]
         if marker == 0xDB:  # DQT
             p = 0
@@ -227,31 +245,39 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     p += 64
                 qt[tq] = vals
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(seg) < 6:
+                raise JpegError("short SOF segment")
             if seg[0] != 8:
                 raise JpegError("only 8-bit precision supported")
             progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
+            if not width or not height:
+                raise JpegError("zero frame dimension")
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("short SOF component list")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if not (hv >> 4) or not (hv & 15):
+                    raise JpegError("zero sampling factor")
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-            if progressive:
-                # coefficients accumulate across scans: allocate the
-                # MCU-padded grids (and each component's own block grid
-                # for non-interleaved scans) up front
-                hmax = max(c.h for c in comps)
-                vmax = max(c.v for c in comps)
-                mcus_x = -(-width // (8 * hmax))
-                mcus_y = -(-height // (8 * vmax))
-                for c in comps:
-                    c.bx = mcus_x * c.h
-                    c.by = mcus_y * c.v
-                    c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
-                    comp_w = -(-(width * c.h) // hmax)
-                    comp_h = -(-(height * c.v) // vmax)
-                    c.bw_c = -(-comp_w // 8)
-                    c.bh_c = -(-comp_h // 8)
+            # Coefficients may accumulate across scans (progressive
+            # passes, or sequential one-SOS-per-component files):
+            # allocate the MCU-padded grids and each component's own
+            # block grid up front for both frame types.
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                c.bx = mcus_x * c.h
+                c.by = mcus_y * c.v
+                c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+                comp_w = -(-(width * c.h) // hmax)
+                comp_h = -(-(height * c.v) // vmax)
+                c.bw_c = -(-comp_w // 8)
+                c.bh_c = -(-comp_h // 8)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError("only baseline/progressive huffman jpeg supported")
         elif marker == 0xC4:  # DHT
@@ -264,54 +290,69 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 (huff_ac if tc else huff_dc)[th] = _Huffman(counts, symbols)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegError("short DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
             adobe_transform = seg[11] if len(seg) > 11 else None
         elif marker == 0xDA:  # SOS
-            ns = seg[0]
+            if not comps:
+                raise JpegError("SOS before SOF")
+            ns = seg[0] if seg else 0
+            if not ns or len(seg) < 4 + 2 * ns:
+                raise JpegError("short SOS segment")
             sel = {}
             order = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 15)
                 order.append(cid)
+            scan_comps = [c for cid in order for c in comps if c.cid == cid]
+            if len(scan_comps) != ns:
+                raise JpegError("SOS references unknown component")
             scan_start = i + 2 + seg_len
             if progressive:
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
-                scan_comps = [c for cid in order for c in comps if c.cid == cid]
                 i = _decode_prog_scan(
                     data, scan_start, scan_comps, sel, huff_dc, huff_ac,
                     restart_interval, ss, se, ahal >> 4, ahal & 15,
                     mcus_x, mcus_y,
                 )
                 continue
-            _decode_scan(data, scan_start, comps, sel, huff_dc, huff_ac,
-                         width, height, restart_interval)
-            break
+            # Sequential: a scan may cover all components (interleaved,
+            # the common case) or one component per SOS (non-interleaved
+            # multi-scan files, T.81 A.2.2) — keep walking markers until
+            # every component has seen a scan.
+            i = _decode_scan(data, scan_start, scan_comps, sel, huff_dc,
+                             huff_ac, restart_interval, mcus_x, mcus_y)
+            seq_seen.update(order)
+            if seq_seen >= {c.cid for c in comps}:
+                break
+            continue
         i += 2 + seg_len
     if not comps or not width:
         raise JpegError("no frame decoded")
+    if not progressive and not seq_seen:
+        raise JpegError("no scan decoded")
     return _reconstruct(comps, qt, width, height, adobe_transform)
 
 
-def _decode_scan(data, pos, comps, sel, huff_dc, huff_ac, width, height,
-                 restart_interval):
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    for c in comps:
-        c.bx = mcus_x * c.h
-        c.by = mcus_y * c.v
-        c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+def _decode_scan(data, pos, comps, sel, huff_dc, huff_ac,
+                 restart_interval, mcus_x, mcus_y):
+    """One sequential scan over pre-allocated coefficient grids.
+
+    ``comps`` is the scan's component list (all frame components for an
+    interleaved scan, one for a non-interleaved scan — T.81 A.2).
+    Returns the stream index of the marker following the entropy-coded
+    data so the caller can continue walking markers for multi-scan
+    sequential files.
+    """
     single = len(comps) == 1
     if single:
-        # non-interleaved single-component scan: MCU is one block
+        # non-interleaved scan: MCU is one block of this component's
+        # own (unpadded) block grid
         c = comps[0]
-        c.bx = -(-width // 8)
-        c.by = -(-height // 8)
-        c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
-        mcus_x, mcus_y = c.bx, c.by
+        mcus_x, mcus_y = c.bw_c, c.bh_c
     # Hot loop: bit-reader state and Huffman LUTs live in locals; blocks
     # accumulate in Python lists (numpy scalar stores are ~10x slower).
     n = len(data)
@@ -461,17 +502,28 @@ def _decode_scan(data, pos, comps, sel, huff_dc, huff_ac, width, height,
     # remaining MCU — fail typed instead of returning gray garbage.
     if pad > 6:
         raise JpegError("truncated entropy-coded data")
-    # Scatter decoded blocks into each component's raster block grid.
+    # Scatter decoded blocks into each component's MCU-padded grid.
     for ci, c in enumerate(comps):
         out = tabs[ci][4]
         arr = np.array(out, dtype=np.int32)
         if single:
-            c.coefs = arr
+            # tight (bh_c, bw_c) block raster into the padded grid
+            grid = c.coefs.reshape(c.by, c.bx, 64)
+            grid[: c.bh_c, : c.bw_c] = arr.reshape(c.bh_c, c.bw_c, 64)
             continue
         # out is MCU-major: for each MCU, h*v blocks row-major within it
         h, v = c.h, c.v
         arr = arr.reshape(mcus_y, mcus_x, v, h, 64)
         c.coefs = arr.transpose(0, 2, 1, 3, 4).reshape(c.by * c.bx, 64)
+    # Next marker at/after the consumed entropy-coded data (bytes the
+    # reader buffered but did not use never include a real marker: a
+    # 0xFF followed by non-zero pads without consuming).
+    n_ = len(data)
+    while pos + 1 < n_:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return n_
 
 
 def _decode_prog_scan(data, pos, scan_comps, sel, huff_dc, huff_ac,
@@ -870,16 +922,22 @@ def _encode_prog_scan(plane_coefs, grids, comp_grids, samp, mcus_x, mcus_y,
 def encode_jpeg(width: int, height: int, channels: int, samples: bytes,
                 quant: int = 4, subsample: bool = False,
                 restart_interval: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                multiscan: bool = False) -> bytes:
     """Minimal JFIF encoder with a flat quantizer of step ``quant``;
     exists to roundtrip-test the decoder. ``subsample=True`` emits
     4:2:0 chroma (2x2-averaged); ``restart_interval`` emits DRI + RSTn
     markers every that many MCUs; ``progressive=True`` emits an SOF2
     stream (DC first+refine, two AC spectral bands first+refine per
     component) coding the same coefficients, so baseline and
-    progressive streams of one image decode byte-identically."""
+    progressive streams of one image decode byte-identically;
+    ``multiscan=True`` emits a sequential stream with one
+    non-interleaved SOS per component (T.81 A.2.2), again coding the
+    same coefficients."""
     if progressive and restart_interval:
         raise JpegError("progressive encoder does not emit restarts")
+    if multiscan and (progressive or restart_interval):
+        raise JpegError("multiscan is a plain sequential variant")
     img = np.frombuffer(samples, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
     if channels == 3:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
@@ -976,6 +1034,29 @@ def encode_jpeg(width: int, height: int, channels: int, samples: bytes,
                 plane_coefs, grids, comp_grids, samp, mcus_x, mcus_y,
                 cs, ss, se, ah, al, dc_codes, ac_codes,
             )
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    if multiscan:
+        # one non-interleaved SOS per component, each walking its own
+        # (unpadded) block grid row-major — same coefficients as the
+        # interleaved stream, so both decode identically
+        out = header
+        for ci, qz in enumerate(plane_coefs):
+            h, v = samp[ci]
+            comp_w = -(-(width * h) // hmax)
+            comp_h = -(-(height * v) // vmax)
+            bw_c, bh_c = -(-comp_w // 8), -(-comp_h // 8)
+            gw = grids[ci][0]
+            bw_ = _BitWriter()
+            pred = 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    pred = _encode_block(bw_, qz[by * gw + bx], pred,
+                                         dc_codes, ac_codes)
+            bw_.flush()
+            out += seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+            out += bw_.out
         out += b"\xff\xd9"
         return bytes(out)
 

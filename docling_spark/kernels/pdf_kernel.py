@@ -901,6 +901,11 @@ class PdfPage:
     # image-XObject placements, (l, b, r, t) BOTTOMLEFT like cells —
     # the input to the P10 OCR decision (base_ocr_model.py:40-112)
     bitmap_rects: list = field(default_factory=list)
+    # optional real pixel content aligned with bitmap_rects: None or
+    # (w, h, gray-bytes) per rect — filled by the IMAGE->PDF adaptation
+    # when a stdlib decoder exists, so rasterized pages show the actual
+    # image instead of a flat placeholder block
+    bitmap_pixels: list = field(default_factory=list)
 
     def cells_top_left(self) -> list[TextCell]:
         """Convert to TOPLEFT origin (docling's working coordinate)."""
@@ -1232,8 +1237,23 @@ def rasterize_page(
         if x0 < x1 and y0 < y1:
             img[y0:y1, x0:x1] = value
 
-    for l, b, r, t in page.bitmap_rects:
-        paint(l, b, r, t, 0x80)
+    pixels = page.bitmap_pixels or [None] * len(page.bitmap_rects)
+    for (l, b, r, t), pix in zip(page.bitmap_rects, pixels):
+        x0 = max(int(np.floor((l - cl) * scale)), 0)
+        x1 = min(int(np.ceil((r - cl) * scale)), w)
+        y0 = max(int(np.floor((page.height - t - ct) * scale)), 0)
+        y1 = min(int(np.ceil((page.height - b - ct) * scale)), h)
+        if x0 >= x1 or y0 >= y1:
+            continue
+        if pix is None:
+            img[y0:y1, x0:x1] = 0x80
+            continue
+        # blit the real decoded image, nearest-neighbour resampled
+        pw, ph, plane = pix
+        src = np.frombuffer(plane, dtype=np.uint8).reshape(ph, pw)
+        ys = (np.arange(y0, y1) - y0) * ph // (y1 - y0)
+        xs = (np.arange(x0, x1) - x0) * pw // (x1 - x0)
+        img[y0:y1, x0:x1] = src[np.ix_(ys, xs)]
     for c in page.cells:
         paint(c.l, c.b, c.r, c.t, 0x30)
     return w, h, img

@@ -133,6 +133,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) < 13:
+                raise RasterError("png: short IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
@@ -386,20 +388,36 @@ def encode_gif_gray(w: int, h: int, pixels: bytes) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """PNG, GIF or JPEG (baseline + progressive) -> (w, h, channels,
-    samples); RasterError otherwise (WebP / TIFF need a codec this
-    sandbox does not have)."""
-    if data[:8] == _PNG_MAGIC:
-        return decode_png(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(data)
-    if data[:3] == b"\xff\xd8\xff":
-        from .jpeg import JpegError, decode_jpeg
+    """PNG, GIF, JPEG (baseline + progressive) or TIFF (uncompressed /
+    PackBits / LZW) -> (w, h, channels, samples); RasterError otherwise
+    (WebP needs a codec this sandbox does not have).
 
-        try:
-            return decode_jpeg(data)
-        except JpegError as e:
-            raise RasterError(f"jpeg: {e}") from e
+    Total over arbitrary bytes: every malformed stream raises
+    RasterError — the Spark extraction path depends on this to emit an
+    error row instead of killing the task on one bad crawl image."""
+    try:
+        if data[:8] == _PNG_MAGIC:
+            return decode_png(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(data)
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            from .tiff import TiffError, decode_tiff
+
+            try:
+                return decode_tiff(data)
+            except TiffError as e:
+                raise RasterError(f"tiff: {e}") from e
+        if data[:3] == b"\xff\xd8\xff":
+            from .jpeg import JpegError, decode_jpeg
+
+            try:
+                return decode_jpeg(data)
+            except JpegError as e:
+                raise RasterError(f"jpeg: {e}") from e
+    except RasterError:
+        raise
+    except (struct.error, IndexError, KeyError, ValueError, MemoryError) as e:
+        raise RasterError(f"malformed image: {type(e).__name__}: {e}") from e
     raise RasterError("no stdlib decoder for this format")
 
 
@@ -407,12 +425,12 @@ def luminance_plane(w: int, h: int, channels: int, samples: bytes) -> bytes:
     """8-bit gray plane: Rec.601 luma for color, channel 0 for gray."""
     if channels == 1:
         return samples
-    out = bytearray(w * h)
-    for i in range(w * h):
-        off = i * channels
-        r, g, b = samples[off], samples[off + 1], samples[off + 2]
-        out[i] = (299 * r + 587 * g + 114 * b) // 1000
-    return bytes(out)
+    import numpy as np
+
+    arr = np.frombuffer(samples, dtype=np.uint8).reshape(-1, channels)
+    rgb = arr[:, :3].astype(np.uint32)
+    lum = (299 * rgb[:, 0] + 587 * rgb[:, 1] + 114 * rgb[:, 2]) // 1000
+    return lum.astype(np.uint8).tobytes()
 
 
 def image_features(w: int, h: int, channels: int, samples: bytes) -> dict:

@@ -59,6 +59,8 @@ _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
     b"GIF8": "image/gif",
+    b"II*\x00": "image/tiff",
+    b"MM\x00*": "image/tiff",
     b"RIFF": "audio/wav",
     b"\x1aE\xdf\xa3": "video/webm",
 }
@@ -74,9 +76,9 @@ def sniff_mime(payload: bytes) -> str:
 def _synth_payload(i: int) -> tuple[str, bytes]:
     """(kind, payload) for media_id i: REAL PNG or baseline JPEG
     (i%4==0, alternating), REAL WAV (i%4==1), fake webm (i%4==2, no
-    stdlib video container), REAL GIF (i%4==3). Image/audio payloads
-    are valid files the real decoders parse; only video (and the
-    webp/tiff crawl formats) stub."""
+    stdlib video container), REAL GIF or TIFF (i%4==3, alternating).
+    Image/audio payloads are valid files the real decoders parse; only
+    video (and the webp crawl format) stub."""
     if i % 4 == 0:  # real image: 8-bit gray PNG / color baseline JPEG
         import numpy as np
 
@@ -114,11 +116,16 @@ def _synth_payload(i: int) -> tuple[str, bytes]:
     if i % 4 == 2:  # fake webm (no stdlib video demuxer)
         body = hashlib.sha256(struct.pack("<q", i)).digest() * (4 + i % 8)
         return "video", b"\x1aE\xdf\xa3" + body
+    w, h = 40 + i % 32, 24 + i % 24
+    plane = bytes((x * 5 + y * 11 + i) % 256 for y in range(h) for x in range(w))
+    if (i // 4) % 2:  # real TIFF (LZW / PackBits alternating)
+        from docling_spark.kernels.tiff import encode_tiff
+
+        comp = 5 if (i // 8) % 2 else 32773
+        return "image", encode_tiff([(w, h, 1, plane)], compression=comp)
     # real gray GIF via the raster encoder
     from docling_spark.kernels.raster import encode_gif_gray
 
-    w, h = 40 + i % 32, 24 + i % 24
-    plane = bytes((x * 5 + y * 11 + i) % 256 for y in range(h) for x in range(w))
     return "image", encode_gif_gray(w, h, plane)
 
 
@@ -197,7 +204,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     def run(batches):
         import pandas as pd
 
-        from docling_spark.kernels.raster import RasterError, decode_image
+        from docling_spark.kernels.raster import decode_image
 
         for pdf in batches:
             rows = []
@@ -210,7 +217,10 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     w, h, ch, samples = decode_image(payload)
                     feat = _grid_feature_np(w, h, ch, samples)
                     decoded = True
-                except (RasterError, ValueError):
+                except Exception:
+                    # defense in depth beyond decode_image's typed
+                    # RasterError contract: one malformed crawl image
+                    # must become a stub row, never a task kill
                     w, h, feat = _decode_image_stub(payload)
                 rows.append(
                     {

@@ -3,7 +3,7 @@ inputs — the crawl-reality contract (SURVEY §5: the reference's own
 test strategy mixes goldens with fuzzed/parametrized inputs)."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from docling_spark.kernels.raster import (
     RasterError,
@@ -50,13 +50,23 @@ def test_gif_roundtrip_random_planes(w, h, seed):
 
 @settings(max_examples=80, deadline=None)
 @given(data=st.binary(max_size=400))
+@example(data=b"\xdd\x00\x00").via("discovered failure")
+@example(data=b"\xc0\x00\x02").via("truncated SOF")
+@example(data=b"\xdb\x00\x03\x00").via("truncated DQT")
+@example(data=b"\xda\x00\x04\x01\x01").via("SOS before SOF")
 def test_decode_image_total_on_garbage(data):
-    """Arbitrary bytes: RasterError or a self-consistent decode."""
+    """Arbitrary bytes: RasterError or a self-consistent decode.
+
+    The pinned examples are the round-3 escape (a truncated DRI
+    segment raised raw struct.error from jpeg.py through
+    decode_image — one malformed crawl JPEG would have killed a
+    whole Spark task) plus its siblings from the same audit."""
     for payload in (
         data,
         b"\x89PNG\r\n\x1a\n" + data,
         b"GIF89a" + data,
         b"\xff\xd8\xff" + data,
+        b"II*\x00" + data,
     ):
         try:
             w, h, c, s = decode_image(payload)
@@ -122,6 +132,33 @@ def test_jpeg_progressive_equals_baseline(w, h, seed, sub):
         )
     )
     assert base == prog
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+def test_jpeg_multiscan_equals_interleaved(w, h, seed, sub):
+    """A sequential file with one non-interleaved SOS per component
+    (T.81 A.2.2) codes the same coefficients as the interleaved
+    stream, so the decoded bytes must be identical — the round-3
+    ADVICE case that used to KeyError in _decode_scan."""
+    from docling_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+    inter = decode_jpeg(
+        encode_jpeg(w, h, 3, img.tobytes(), quant=4, subsample=sub)
+    )
+    multi = decode_jpeg(
+        encode_jpeg(
+            w, h, 3, img.tobytes(), quant=4, subsample=sub, multiscan=True
+        )
+    )
+    assert inter == multi
 
 
 # ------------------------------------------------------ format sniffing

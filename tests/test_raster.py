@@ -245,7 +245,12 @@ def test_decode_pixels_png_gif_jpeg_real_webp_stubbed():
     # malformed jpeg: decode is attempted for real and fails typed
     with pytest.raises(RasterError):
         decode_pixels(b"\xff\xd8\xff rest of a jpeg")
-    # webp/tiff remain the explicit no-codec stub
+    # tiff decodes for real now (kernels/tiff.py)
+    from docling_spark.kernels.tiff import encode_tiff
+
+    w, h, c, s = decode_pixels(encode_tiff([(20, 10, 1, img.tobytes())]))
+    assert (w, h, c) == (20, 10, 1) and set(s) == {128}
+    # webp remains the explicit no-codec stub
     with pytest.raises(NotImplementedError):
         decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
@@ -333,3 +338,57 @@ def test_gif_lzw_bomb_bounded():
     data = bytearray(make_gif(idx, 4, 4, pal))
     w, h, c, s = decode_gif(bytes(data))
     assert (w, h) == (4, 4) and len(s) == 4 * 4 * 3
+
+
+def test_malformed_jpeg_yields_stub_row_not_task_kill(spark):
+    """The round-3 escape, pinned end-to-end: a JPEG with a truncated
+    DRI segment must flow through the Spark feature path as a
+    decoded=false stub row — the typed-error chain (JpegError ->
+    RasterError -> stub) plus the catch-all defense in
+    extract_media_features."""
+    from pyspark.sql import Row
+
+    from docling_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    bad = [
+        b"\xff\xd8\xff\xdd\x00\x00",          # truncated DRI (the escape)
+        b"\xff\xd8\xff\xc0\x00\x02",          # truncated SOF
+        b"\xff\xd8\xff\xda\x00\x04\x01\x01",  # SOS before SOF
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # short PNG IHDR path
+        b"II*\x00" + b"\xff" * 30,            # garbage TIFF IFD
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(media_id=i, kind="image", payload=p, mime="image/x-bad",
+                n_bytes=len(p))
+            for i, p in enumerate(bad)
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_media_features(df).collect()
+    assert len(rows) == len(bad)
+    assert all(not r.decoded for r in rows)      # stub rows, no exception
+    assert all(len(r.feature) == 8 for r in rows)
+
+
+def test_media_rollup_shows_tiff_decoded(spark):
+    """The synthetic corpus now carries real TIFF payloads (LZW and
+    PackBits); every image row including tiff must report
+    decoded=true in the rollup."""
+    from docling_spark.operators.multimodal import (
+        _synth_payload,
+        extract_media_features,
+        media_rollup,
+        synth_media,
+    )
+
+    # corpus really contains tiffs
+    kinds = {_synth_payload(i)[1][:4] for i in range(32)}
+    assert b"II*\x00" in kinds
+    feats = extract_media_features(synth_media(spark, 64))
+    roll = {(r.kind, r.decoded): r.n_media for r in media_rollup(feats).collect()}
+    assert ("image", False) not in roll          # every image decodes
+    assert roll[("image", True)] == 32
