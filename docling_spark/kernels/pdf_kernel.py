@@ -968,12 +968,26 @@ def interpret_text(
     image_xobjects = image_xobjects or frozenset()
     n = len(content)
 
+    def _expand_visual(t: str) -> str:
+        # A single glyph whose ToUnicode expands to 2+ RTL chars (the
+        # mandatory lam-alef ligature) delivers them in LOGICAL order;
+        # the surrounding string is in VISUAL order. Store the
+        # expansion reversed so the cell is uniformly visual and the
+        # later _visual_to_logical reversal restores the pair.
+        if len(t) >= 2:
+            import unicodedata
+
+            if all(unicodedata.bidirectional(c) in ("R", "AL", "AN")
+                   for c in t):
+                return t[::-1]
+        return t
+
     def show(raw) -> None:
         nonlocal tm
         if isinstance(raw, bytes):
             if cur_font is not None:
                 decoded = cur_font.decode(raw)
-                text = "".join(t for _, t in decoded)
+                text = "".join(_expand_visual(t) for _, t in decoded)
                 adv_em = cur_font.advance([c for c, _ in decoded]) / 1000.0
             else:
                 text = raw.decode("latin-1")

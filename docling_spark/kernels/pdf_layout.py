@@ -541,7 +541,95 @@ def page_blocks(page: PdfPage) -> list[Block]:
             return (1 if b.l > mid * 0.96 and b.r > mid else 0, b.t, b.l)
 
         blocks = sorted(blocks + extra, key=key)
-    return blocks
+    return _form_row_reorder(blocks)
+
+
+def _form_row_reorder(blocks: list[Block]) -> list[Block]:
+    """rb-model form semantics (readingorder_model.py:106-334 routes
+    clusters through a table-aware predictor): on a FORM-like page —
+    short label/value blocks sitting side by side in horizontally
+    disjoint spans, row after row — reading order is row-major
+    (direction-first within a row), not column-major. Gate: >= 3
+    paired rows covering >= half the text blocks; ordinary one- and
+    two-column text pages never trip it (their side-by-side blocks are
+    tall paragraph columns, grouped rarely and sparsely)."""
+    n = len(blocks)
+    if n < 4:
+        return blocks
+    cand = [
+        i
+        for i in range(n)
+        if blocks[i].kind in ("text", "section_header", "title")
+        and blocks[i].text.strip()
+    ]
+    if len(cand) < 4:
+        return blocks
+    uf = UnionFind(range(n))
+    for ii, i in enumerate(cand):
+        a = blocks[i]
+        for j in cand[ii + 1 :]:
+            b = blocks[j]
+            overlap = min(a.b, b.b) - max(a.t, b.t)
+            if overlap >= 0.45 * min(a.b - a.t, b.b - b.t):
+                uf.union(i, j)
+    groups = uf.groups()
+    paired = 0
+    paired_blocks = 0
+    for g in groups.values():
+        if len(g) < 2:
+            continue
+        mem = sorted(g, key=lambda i: blocks[i].l)
+        if any(
+            blocks[mem[k + 1]].l >= blocks[mem[k]].r - 1.0
+            for k in range(len(mem) - 1)
+        ):
+            paired += 1
+            paired_blocks += len(g)
+    if paired < 3 or paired_blocks < 0.5 * len(cand):
+        return blocks
+    import unicodedata
+
+    txt = "".join(b.text for b in blocks)
+    rtl = sum(
+        1 for c in txt if unicodedata.bidirectional(c) in ("R", "AL", "AN")
+    ) > 0.3 * max(len(txt), 1)
+    ordered: list[Block] = []
+    for g in sorted(groups.values(), key=lambda g: min(blocks[i].t for i in g)):
+        ordered.extend(
+            blocks[i]
+            for i in sorted(
+                g,
+                key=lambda i: (
+                    -blocks[i].r if rtl else blocks[i].l,
+                    blocks[i].t,
+                ),
+            )
+        )
+    return ordered
+
+
+_CODE_KEYWORDS = frozenset(
+    "CREATE SELECT INSERT UPDATE DELETE RETURN CASE WHEN THEN ELSE END "
+    "ENABLE FROM WHERE FUNCTION PERMISSION MASK ALTER GRANT REVOKE ON AS "
+    "FOR COLUMN TABLE VALUES AND OR NOT NULL BEGIN DECLARE SET CALL".split()
+)
+_CODE_IDENT_RE = re.compile(r"\b[A-Z][A-Z0-9]*(?:_[A-Z0-9]+)+\b")
+
+
+def _looks_like_code(text: str) -> bool:
+    """Stand-in for the CodeFormula vision model's CODE label
+    (code_formula_model.py): a block of mostly-uppercase tokens dense
+    in SQL-ish keywords and UNDERSCORE_IDENTIFIERS is a code listing.
+    Prose that merely mentions an identifier stays text (mixed case)."""
+    alpha = [c for c in text if c.isalpha()]
+    if len(alpha) < 20:
+        return False
+    if sum(1 for c in alpha if c.isupper()) < 0.6 * len(alpha):
+        return False
+    words = text.split()
+    kw = sum(1 for w in words if w.strip("(),;.'\"") in _CODE_KEYWORDS)
+    idents = len(_CODE_IDENT_RE.findall(text))
+    return kw >= 2 and idents >= 1
 
 
 def classify_blocks(blocks: list[Block]) -> None:
@@ -579,6 +667,11 @@ def classify_blocks(blocks: list[Block]) -> None:
         ):
             b.kind = "section_header"
             b.level = max(depth, 1) if b.size < 1.25 * body else b.level
+    # code listings (stand-in for the CodeFormula model's CODE label):
+    # fenced at export, so underscores stay raw like the reference
+    for b in blocks:
+        if b.kind == "text" and _looks_like_code(b.text):
+            b.kind = "code"
     # title promotion only considers genuinely LARGER-font headers —
     # a bold heading at body size is a section header, never the title
     page1 = [
@@ -702,6 +795,38 @@ def mark_page_furniture(
             # changes) — assemble_doc maps the kind to label=footnote.
             b.kind = "footnote"
 
+    # rule 3: a running head on a SINGLE page (no repetition evidence):
+    # the topmost block of a page, inside the header zone, set smaller
+    # than the body font, short, and clearly separated from the block
+    # below — the layout model labels these page_header by position +
+    # font alone (e.g. an arXiv page's running title on a 1-page doc)
+    chars_by_size: dict[float, int] = defaultdict(int)
+    for b in all_blocks:
+        if b.kind == "text":
+            chars_by_size[round(b.size * 2) / 2] += len(b.text)
+    body = max(chars_by_size, key=chars_by_size.get) if chars_by_size else 0.0
+    by_page: dict[int, list[Block]] = defaultdict(list)
+    for b in all_blocks:
+        by_page[b.page_no].append(b)
+    for pno, page_bs in by_page.items():
+        first = min(page_bs, key=lambda b: b.t)
+        # the whole top band: blocks sharing the first block's line
+        band = [x for x in page_bs if x.t < first.b]
+        rest = [x for x in page_bs if x not in band]
+        band_bot = max(x.b for x in band)
+        band_h = band_bot - first.t
+        gap_ok = not rest or min(x.t for x in rest) - band_bot >= band_h
+        if gap_ok and all(
+            x.kind in ("text", "page_header")  # folio may be marked already
+            and zone(x) == "top"
+            and 0 < len(x.text) < 120
+            and body
+            and x.size <= 0.95 * body
+            for x in band
+        ):
+            for x in band:
+                x.kind = "page_header"
+
 
 # caption prefixes the reference's reading-order model keys on
 # (readingorder_model.py:106-334 predict_to_captions/footnotes attach
@@ -783,6 +908,8 @@ def assemble_doc(
             item_nodes[i] = doc.add_table(b.table, content_layer=BODY)
         elif b.kind == "picture":
             item_nodes[i] = doc.add_picture(content_layer=BODY)
+        elif b.kind == "code":
+            doc.add_code(b.text, content_layer=BODY)
         elif b.kind in ("page_header", "page_footer"):
             doc.add_text(label=b.kind, text=b.text, content_layer=FURNITURE)
         elif b.kind == "footnote":

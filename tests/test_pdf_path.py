@@ -634,3 +634,96 @@ def test_page_blocks_never_lose_text():
         )
         missing = [w for w in words if w not in got]
         assert not missing, f"trial {trial}: lost {missing[:5]} of {n}"
+
+
+def test_single_page_running_head_rule():
+    """Rule 3 (r4): a lone running head + folio band at the very top of
+    a page — smaller than body, separated by a clear gap — is furniture
+    even with no cross-page repetition (layout model semantics; the
+    2305.03393v1-pg9 fixture's 'Optimized Table Tokenization... 9')."""
+    from docling_spark.kernels.pdf_layout import Block, mark_page_furniture
+
+    H = 792.0
+    blocks = [
+        Block("text", "Optimized Table Tokenization", 0, 1, 134, 91, 410, 100, 9.0),
+        Block("text", "9", 0, 1, 460, 91, 465, 100, 9.0),
+        Block("text", "Body paragraph long enough to set the body font size " * 3,
+              0, 1, 134, 116, 480, 150, 10.0),
+        Block("text", "More body text to anchor the size histogram " * 3,
+              0, 1, 134, 160, 480, 200, 10.0),
+    ]
+    mark_page_furniture(blocks, {1: H})
+    assert [b.kind for b in blocks] == [
+        "page_header", "page_header", "text", "text",
+    ]
+    # same band at BODY size stays text (a title is never furniture)
+    blocks2 = [
+        Block("text", "A Perfectly Normal Heading", 0, 1, 134, 91, 410, 100, 10.0),
+        Block("text", "Body paragraph long enough to set the body font size " * 3,
+              0, 1, 134, 116, 480, 150, 10.0),
+    ]
+    mark_page_furniture(blocks2, {1: H})
+    assert blocks2[0].kind == "text"
+
+
+def test_code_listing_classification():
+    """_looks_like_code (r4): uppercase SQL listings with underscore
+    identifiers become CODE (fenced, underscores unescaped — matching
+    the reference's CodeFormula labels on redp5110); prose that merely
+    mentions an identifier stays text."""
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_layout import (
+        Block,
+        _looks_like_code,
+        assemble_doc,
+    )
+
+    sql = ("CREATE MASK HR_SCHEMA.MASK_TAX_ID_ON_EMPLOYEES ON "
+           "HR_SCHEMA.EMPLOYEES AS EMPLOYEES FOR COLUMN TAX_ID RETURN "
+           "CASE WHEN VERIFY_GROUP_FOR_USER ( SESSION_USER , 'HR' ) = 1 "
+           "THEN EMPLOYEES . TAX_ID ELSE 'XXX-XX-XXXX' END ENABLE ;")
+    prose = ("The other column to mask in this example is the TAX_ID "
+             "information, which managers see partially masked.")
+    assert _looks_like_code(sql)
+    assert not _looks_like_code(prose)
+    assert not _looks_like_code("SHORT SQL END")  # too little signal
+
+    blocks = [
+        Block("text", prose, 0, 1, 72, 100, 480, 112, 10.0),
+        Block("text", sql, 0, 1, 72, 130, 480, 190, 10.0),
+    ]
+    doc = assemble_doc(blocks)
+    md = to_markdown(doc)
+    # fenced block carries the identifier raw; prose escapes it
+    assert "```" in md and "VERIFY_GROUP_FOR_USER" in md
+    assert "TAX\\_ID information" in md
+
+
+def test_form_row_reorder_semantics():
+    """_form_row_reorder (r4): label/value pairs on a form page are
+    emitted row-major (rb-model table-aware order); an ordinary
+    two-column text page keeps its column order."""
+    from docling_spark.kernels.pdf_layout import Block, _form_row_reorder
+
+    def blk(text, l, t, r, b):
+        return Block("text", text, 0, 1, l, t, r, b, 10.0)
+
+    # form: values in the left half, labels in the right half, 4 rows
+    form = (
+        [blk(f"value {i}", 60, 100 + 40 * i, 200, 112 + 40 * i) for i in range(4)]
+        + [blk(f"label {i}", 320, 100 + 40 * i, 500, 112 + 40 * i) for i in range(4)]
+    )
+    out = _form_row_reorder(sorted(form, key=lambda b: (b.l > 250, b.t)))
+    texts = [b.text for b in out]
+    assert texts == [t for i in range(4) for t in (f"value {i}", f"label {i}")]
+
+    # two-column page: tall paragraph columns -> pairing gate must NOT
+    # trip (only one tall cross-column group)
+    cols = [
+        blk("left paragraph one", 60, 100, 280, 400),
+        blk("left paragraph two", 60, 410, 280, 700),
+        blk("right paragraph one", 320, 100, 540, 400),
+        blk("right paragraph two", 320, 410, 540, 700),
+    ]
+    out2 = _form_row_reorder(list(cols))
+    assert [b.text for b in out2] == [b.text for b in cols]

@@ -299,13 +299,13 @@ def test_real_world_pdf_fixtures_reading_order():
         "code_and_formula": 0.97,
         "multi_page": 0.98,
         "picture_classification": 0.99,
-        "redp5110_sampled": 0.82,  # residue: the reference's model-only
-        # code-block labels (unescaped underscores in fenced SQL) and
-        # its own /g-glyph garbage on the symbol-font bullet lists
-        "right_to_left_01": 0.76,
-        "right_to_left_02": 0.74,
-        "right_to_left_03": 0.44,  # form-table page: field/value order
-        # needs the table-aware rb reading-order model
+        "redp5110_sampled": 0.87,  # r4: SQL listings now classified
+        # code -> fenced/unescaped like the reference; residue is its
+        # own /g-glyph garbage on the symbol-font bullet lists
+        "right_to_left_01": 0.84,  # r4: lam-alef ligature kept atomic
+        "right_to_left_02": 0.78,  # through the visual->logical flip
+        "right_to_left_03": 0.61,  # r4: form pages emit label/value
+        # pairs row-major (_form_row_reorder) like the rb model
     }
 
     def toks(s):
@@ -318,3 +318,21 @@ def test_real_world_pdf_fixtures_reading_order():
         gt = toks((GT / f"{stem}.md").read_text())
         ratio = difflib.SequenceMatcher(a=gt, b=mine, autojunk=False).ratio()
         assert ratio >= floor, f"{stem}: order ratio {ratio:.3f} < {floor}"
+
+
+def test_rtl_lam_alef_ligature_logical_order():
+    """r4: a lam-alef ligature glyph expands to two chars in LOGICAL
+    order inside a VISUAL-order stream; the extractor keeps the pair
+    atomic through the visual->logical flip. Regression: these words
+    used to come out with the pair swapped ("فوالد" instead of
+    "فولاد")."""
+    from docling_spark.kernels.markdown import to_markdown
+    from docling_spark.kernels.pdf_layout import build_doc
+
+    pdf = Path("/root/reference/tests/data/pdf/right_to_left_03.pdf").read_bytes()
+    doc, _ = build_doc(parse_pdf(pdf), name="rtl3")
+    md = to_markdown(doc)
+    assert "فولادهای" in md       # steel (lam-alef mid-word)
+    assert "کالای" in md          # goods (lam-alef mid-word)
+    assert "فوالدهای" not in md   # the swapped form must be gone
+    assert "کاالی" not in md
