@@ -121,8 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus count so each probed bucket stays ~64 vectors at EVERY
         # scale (6 bits at 10^3 vectors, 27 at 10^10) — the registered
         # entry is the production shape, not a test-scale constant.
-        # Recall@10 >= 0.6 pinned by tests/test_plans.py.
-        emb = _emb(spark, sf_dir)
+        # Recall@10 >= 0.6 pinned by tests/test_plans.py. The relation
+        # is persisted BEFORE the sizing count so the parquet is
+        # scanned once: the count materializes the cache and the LSH
+        # job reads it back instead of rescanning.
+        emb = _emb(spark, sf_dir).persist()
         n_bits = similarity.auto_n_bits(emb.count())
         return similarity.lsh_topk(
             emb, ANN_QUERY_IDS, k=10, n_bits=n_bits, n_tables=8

@@ -255,8 +255,10 @@ class Doc:
             DocNode(0, TABLE, -1, content_layer, table=data), parent
         )
 
-    def add_picture(self, caption=None, content_layer: str = BODY, parent=None):
+    def add_picture(self, caption=None, content_layer: str = BODY, parent=None,
+                    image: Optional[dict] = None):
         node = DocNode(0, PICTURE, -1, content_layer)
         if caption is not None:
             node.caption_id = caption.node_id
+        node.image = image
         return self._add(node, parent)

@@ -235,3 +235,15 @@ def test_media_features_single_exchange(spark):
     plan = _plan(feats)
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_lsh_topk_single_parquet_scan(spark):
+    """r4: x_lsh_topk persists the embeddings before the auto_n_bits
+    sizing count, so the LSH job reads the cache (InMemoryTableScan)
+    instead of re-scanning the parquet."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["x_lsh_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert df.count() > 0
