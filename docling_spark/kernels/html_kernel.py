@@ -337,15 +337,26 @@ class HtmlExtractor:
                 text=clean_unicode(title_text), orig=title_text, content_layer=FURNITURE
             )
 
-        # strip boilerplate (reference :260-265)
-        for tag in soup(["script", "style"]):
-            tag.decompose()
-        for tag in soup.find_all(None, has_attr="hidden"):
+        # strip boilerplate (reference :260-265). One fused traversal
+        # instead of the reference's three document-wide scans
+        # (script/style, hidden, br) — same node set, same order
+        # (decompose removes whole subtrees, so a br inside a stripped
+        # script can never be reached in either formulation).
+        strip: list[Tag] = []
+        brs: list[Tag] = []
+        for node in soup.descendants():
+            if isinstance(node, Tag):
+                if node.name in ("script", "style") or "hidden" in node.attrs:
+                    strip.append(node)
+                elif node.name == "br":
+                    brs.append(node)
+        for tag in strip:
             tag.decompose()
 
         content = soup.body or soup
-        for br in content("br"):
-            br.replace_with(TextNode("\n"))
+        for br in brs:
+            if br.parent is not None:  # skip brs inside stripped subtrees
+                br.replace_with(TextNode("\n"))
 
         # default layer: furniture until the first heading (reference :272-275)
         headers = content.find(_HEADING_NAMES)

@@ -866,6 +866,52 @@ def _attach_captions(all_blocks: list[Block]) -> dict[int, int]:
     return cap_for
 
 
+_TERMINAL_PUNCT = (".", "!", "?", ":", ";", '"', "”", "…")
+
+
+def merge_continuations(all_blocks: list[Block]) -> list[Block]:
+    """predict_merges semantics (readingorder_model.py:336-353 applies
+    the rb model's merge pairs by concatenating the texts and
+    appending prov): a paragraph split by a column or page break is
+    one item. Heuristic stand-in for the learned pair classifier:
+    consecutive text blocks in reading order where the first does not
+    end a sentence, the second starts lowercase, both are body-sized
+    regular text, and the geometry shows a column/page jump (same-column
+    neighbours are already merged at block building)."""
+    out: list[Block] = []
+    for b in all_blocks:
+        # the candidate predecessor in reading order, looking past any
+        # furniture parked between a page's last paragraph and the next
+        # page's first (running heads/folios never block a merge)
+        prev = None
+        for cand in reversed(out):
+            if cand.kind in ("page_header", "page_footer"):
+                continue
+            prev = cand
+            break
+        if (
+            prev is not None
+            and prev.kind == "text"
+            and b.kind == "text"
+            and prev.text
+            and b.text
+            and not prev.text.rstrip().endswith(_TERMINAL_PUNCT)
+            and b.text.lstrip()[:1].islower()
+            and not prev.bold
+            and not b.bold
+            and abs(prev.size - b.size) <= 0.1 * max(prev.size, b.size)
+            and not _LIST_MARKER_RE.match(b.text)
+            and (
+                b.page_no > prev.page_no  # page break
+                or b.t < prev.t  # column jump: next starts above prev
+            )
+        ):
+            prev.text = f"{prev.text} {b.text}"
+            continue
+        out.append(b)
+    return out
+
+
 def assemble_doc(
     all_blocks: list[Block], name: str = "doc", classify: bool = True
 ) -> Doc:
@@ -936,6 +982,7 @@ def build_doc(pages: list[PdfPage], name: str = "doc") -> tuple[Doc, list[float]
         all_blocks.extend(blocks)
         page_heights[page.page_no] = page.height
     mark_page_furniture(all_blocks, page_heights)
+    all_blocks = merge_continuations(all_blocks)
     return assemble_doc(all_blocks, name), page_scores
 
 

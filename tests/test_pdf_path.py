@@ -727,3 +727,37 @@ def test_form_row_reorder_semantics():
     ]
     out2 = _form_row_reorder(list(cols))
     assert [b.text for b in out2] == [b.text for b in cols]
+
+
+def test_merge_continuations_semantics():
+    """predict_merges stand-in (r4): a paragraph split by a page or
+    column break merges into one item (text concatenated with a space,
+    readingorder_model.py:336-353); sentence-final or styled blocks
+    never merge, and furniture between the halves does not block it."""
+    from docling_spark.kernels.pdf_layout import Block, merge_continuations
+
+    def blk(text, page, t, kind="text", bold=False, size=10.0):
+        return Block(kind, text, 0, page, 72, t, 480, t + 40, size, bold=bold)
+
+    blocks = [
+        blk("This sentence continues across the", 1, 600),
+        blk("9", 1, 770, kind="page_footer"),
+        blk("page break without ending first.", 2, 80),
+        blk("A fresh paragraph. It ends properly.", 2, 140),
+        blk("next one starts lowercase but prev ended.", 2, 200),
+    ]
+    out = merge_continuations(blocks)
+    texts = [b.text for b in out if b.kind == "text"]
+    assert texts[0] == (
+        "This sentence continues across the page break without ending first."
+    )
+    assert len(texts) == 3  # the sentence-final pair stayed split
+    # column jump on one page: continuation starts ABOVE the previous
+    # block (next column) and lowercase
+    cols = [
+        blk("ends mid-clause so the column", 1, 700),
+        blk("continuation picks it up here.", 1, 100),
+    ]
+    assert [b.text for b in merge_continuations(cols)] == [
+        "ends mid-clause so the column continuation picks it up here."
+    ]
