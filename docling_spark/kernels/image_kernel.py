@@ -215,7 +215,8 @@ def image_ref_payload(path_or_ext: str, data: bytes) -> dict | None:
 
     ext = path_or_ext.rsplit(".", 1)[-1].lower()
     mime = {"png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
-            "gif": "image/gif"}.get(ext)
+            "gif": "image/gif", "tif": "image/tiff",
+            "tiff": "image/tiff"}.get(ext)
     if mime is None:
         return None
     try:
