@@ -5,13 +5,13 @@ multi-frame TIFF) PDF and fed to the PDF backend
 (/root/reference/docling/backend/pdf_backend.py:56-90 via PIL). This
 sandbox has no PIL, so the codecs are implemented from the public
 specs instead: PNG (zlib+unfilter), GIF (LZW), JPEG baseline +
-progressive (T.81), TIFF uncompressed/PackBits/LZW (TIFF 6.0). Each
+progressive (T.81), TIFF uncompressed/PackBits/LZW (TIFF 6.0); WebP
+decodes through the system libwebp via ctypes (kernels/webp.py). Each
 frame becomes a PdfPage whose full area is one bitmap rect carrying
 the real decoded luma plane (exactly what PIL's image-PDF wrapping
 produces: a single full-page image XObject, no text), and the P10 OCR
-decision then reports full-page coverage. Only WebP's VP8 coder
-remains a stub (:func:`decode_pixels` raises NotImplementedError for
-it); those frames keep a pixel-less bitmap rect.
+decision then reports full-page coverage. On a host without libwebp,
+WebP frames keep a pixel-less bitmap rect (the pre-r4 stub).
 """
 
 from __future__ import annotations
@@ -30,16 +30,25 @@ def decode_pixels(payload: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
     progressive) and TIFF (uncompressed / PackBits / LZW) via the
     stdlib decoders in kernels/raster.py, kernels/jpeg.py and
     kernels/tiff.py (zlib inflate + unfilter; LZW; T.81 huffman
-    sequential and Annex-G progressive + IDCT; TIFF 6.0 strips).
-    ``page`` selects the frame of a multi-page TIFF.
+    sequential and Annex-G progressive + IDCT; TIFF 6.0 strips), plus
+    WebP via the system libwebp (ctypes, kernels/webp.py) when the
+    host has it. ``page`` selects the frame of a multi-page TIFF.
 
-    WebP remains an explicit stub: its VP8 coder needs a codec library
-    this sandbox does not have."""
+    On a host without libwebp, WebP remains the explicit stub
+    (NotImplementedError), exactly the pre-r4 behavior."""
     head = payload[:8]
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
 
         return decode_tiff(payload, page)
+    if head[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import webp_available
+
+        if not webp_available():
+            raise NotImplementedError("no webp codec on this host")
+        from .raster import decode_image
+
+        return decode_image(payload)
     if (
         head == b"\x89PNG\r\n\x1a\n"
         or payload[:6] in (b"GIF87a", b"GIF89a")
@@ -48,7 +57,7 @@ def decode_pixels(payload: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         from .raster import decode_image
 
         return decode_image(payload)
-    raise NotImplementedError("no stdlib decoder for this format (webp)")
+    raise NotImplementedError("no stdlib decoder for this format")
 
 
 def _tiff_frames(data: bytes) -> list[tuple[int, int]]:
@@ -167,9 +176,10 @@ def image_frames(payload: bytes) -> list[tuple[int, int]]:
 def image_to_pdf_pages(payload: bytes, with_pixels: bool = True) -> list[PdfPage]:
     """IMAGE -> PDF-path pages: one PdfPage per frame, zero text cells,
     one full-page bitmap rect — the exact page shape PIL's image-PDF
-    conversion hands the reference's PDF backend. When a stdlib decoder
-    exists (PNG/GIF/JPEG/TIFF) the rect carries the real decoded luma
-    plane; WebP frames keep a pixel-less rect (codec stub)."""
+    conversion hands the reference's PDF backend. When a decoder
+    exists (PNG/GIF/JPEG/TIFF stdlib; WebP via system libwebp) the
+    rect carries the real decoded luma plane; otherwise the rect stays
+    pixel-less."""
     pages = []
     for i, (w, h) in enumerate(image_frames(payload)):
         page = PdfPage(i + 1, float(w), float(h))

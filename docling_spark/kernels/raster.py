@@ -388,9 +388,9 @@ def encode_gif_gray(w: int, h: int, pixels: bytes) -> bytes:
 
 
 def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
-    """PNG, GIF, JPEG (baseline + progressive) or TIFF (uncompressed /
-    PackBits / LZW) -> (w, h, channels, samples); RasterError otherwise
-    (WebP needs a codec this sandbox does not have).
+    """PNG, GIF, JPEG (baseline + progressive), TIFF (uncompressed /
+    PackBits / LZW) or WebP (system libwebp via ctypes, when present)
+    -> (w, h, channels, samples); RasterError otherwise.
 
     Total over arbitrary bytes: every malformed stream raises
     RasterError — the Spark extraction path depends on this to emit an
@@ -407,6 +407,13 @@ def decode_image(data: bytes) -> tuple[int, int, int, bytes]:
                 return decode_tiff(data)
             except TiffError as e:
                 raise RasterError(f"tiff: {e}") from e
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            from .webp import WebpError, decode_webp
+
+            try:
+                return decode_webp(data)
+            except WebpError as e:
+                raise RasterError(f"webp: {e}") from e
         if data[:3] == b"\xff\xd8\xff":
             from .jpeg import JpegError, decode_jpeg
 

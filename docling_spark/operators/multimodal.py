@@ -1,14 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride along as ``binary`` columns with a typed
-metadata struct. PNG and GIF payloads are decoded FOR REAL by the
-stdlib decoders in kernels/raster.py (zlib inflate + unfilter; LZW)
-and yield true dimensions + luminance grid features; JPEG/WebP/video
-fall back to ``_decode_image_stub`` (their codecs don't exist in this
-container) and are flagged ``decoded = false`` so every downstream
-rollup distinguishes measured features from placeholders. Swap the
-stub for PIL/libvips/ffmpeg on a real cluster without touching the
-Spark plan.
+metadata struct. PNG/GIF/JPEG/TIFF payloads are decoded FOR REAL by
+the stdlib decoders in kernels/raster.py, kernels/jpeg.py and
+kernels/tiff.py, WebP by the system libwebp (ctypes, kernels/webp.py)
+— all yield true dimensions + luminance grid features. Video (and
+WebP on a host without libwebp) falls back to ``_decode_image_stub``
+and is flagged ``decoded = false`` so every downstream rollup
+distinguishes measured features from placeholders. Swap the stub for
+ffmpeg on a real cluster without touching the Spark plan.
 """
 
 from __future__ import annotations
@@ -49,8 +49,8 @@ FEATURE_SCHEMA = StructType(
         StructField("n_frames", IntegerType()),
         StructField("feature", ArrayType(DoubleType())),
         StructField("sha1", StringType()),
-        # true iff the pixels were actually decoded (PNG/GIF stdlib
-        # path); false = placeholder features from the codec stub
+        # true iff the pixels were actually decoded; false =
+        # placeholder features from the codec stub (video)
         StructField("decoded", BooleanType()),
     ]
 )
@@ -67,6 +67,10 @@ _MAGIC = {
 
 
 def sniff_mime(payload: bytes) -> str:
+    if payload[:4] == b"RIFF":  # RIFF container: fourcc disambiguates
+        if payload[8:12] == b"WEBP":
+            return "image/webp"
+        return "audio/wav"
     for magic, mime in _MAGIC.items():
         if payload[: len(magic)] == magic:
             return mime
@@ -76,9 +80,9 @@ def sniff_mime(payload: bytes) -> str:
 def _synth_payload(i: int) -> tuple[str, bytes]:
     """(kind, payload) for media_id i: REAL PNG or baseline JPEG
     (i%4==0, alternating), REAL WAV (i%4==1), fake webm (i%4==2, no
-    stdlib video container), REAL GIF or TIFF (i%4==3, alternating).
-    Image/audio payloads are valid files the real decoders parse; only
-    video (and the webp crawl format) stub."""
+    stdlib video container), REAL GIF / TIFF / lossless WebP
+    (i%4==3, rotating). Image/audio payloads are valid files the real
+    decoders parse; only video stubs."""
     if i % 4 == 0:  # real image: 8-bit gray PNG / color baseline JPEG
         import numpy as np
 
@@ -118,11 +122,19 @@ def _synth_payload(i: int) -> tuple[str, bytes]:
         return "video", b"\x1aE\xdf\xa3" + body
     w, h = 40 + i % 32, 24 + i % 24
     plane = bytes((x * 5 + y * 11 + i) % 256 for y in range(h) for x in range(w))
-    if (i // 4) % 2:  # real TIFF (LZW / PackBits alternating)
+    variant = (i // 4) % 3
+    if variant == 1:  # real TIFF (LZW / PackBits alternating)
         from docling_spark.kernels.tiff import encode_tiff
 
         comp = 5 if (i // 8) % 2 else 32773
         return "image", encode_tiff([(w, h, 1, plane)], compression=comp)
+    if variant == 2:  # real lossless WebP via the system libwebp
+        from docling_spark.kernels.webp import encode_webp_lossless, webp_available
+
+        if webp_available():
+            rgba = b"".join(bytes((v, v, v, 255)) for v in plane)
+            return "image", encode_webp_lossless(w, h, rgba)
+        # host without libwebp: fall through to GIF (corpus stays total)
     # real gray GIF via the raster encoder
     from docling_spark.kernels.raster import encode_gif_gray
 
@@ -130,8 +142,9 @@ def _synth_payload(i: int) -> tuple[str, bytes]:
 
 
 def synth_media(spark, n: int = 256) -> DataFrame:
-    """Deterministic media corpus: REAL PNG/JPEG/GIF/WAV payloads
-    (decoded for real downstream) + fake video bytes (stub path)."""
+    """Deterministic media corpus: REAL PNG/JPEG/GIF/TIFF/WebP/WAV
+    payloads (decoded for real downstream) + fake video bytes (stub
+    path)."""
 
     def gen(batches):
         import pandas as pd
@@ -155,8 +168,8 @@ def synth_media(spark, n: int = 256) -> DataFrame:
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB: stands in for a codec this container lacks (WebP/TIFF
-    entropy decode, video demux).
+    """STUB: stands in for a codec this container lacks (video
+    demux; WebP on hosts without libwebp).
 
     Deterministic fake: dimensions and an 8-dim 'embedding' derived
     from the payload digest. Rows produced this way carry
@@ -197,7 +210,7 @@ def _grid_feature_np(w: int, h: int, channels: int, samples: bytes) -> list[floa
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches: the real plan
     shape for decode/resize/frame-sample at scale (one Python worker per
-    core, payload bytes never hit the driver). PNG/GIF/baseline-JPEG
+    core, payload bytes never hit the driver). PNG/GIF/JPEG/TIFF/WebP
     decode for real; everything else falls back to the stub with
     ``decoded = false``."""
 

@@ -250,9 +250,16 @@ def test_decode_pixels_png_gif_jpeg_real_webp_stubbed():
 
     w, h, c, s = decode_pixels(encode_tiff([(20, 10, 1, img.tobytes())]))
     assert (w, h, c) == (20, 10, 1) and set(s) == {128}
-    # webp remains the explicit no-codec stub
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # webp: real decode via the system libwebp when present (garbage
+    # fails typed); explicit stub on hosts without it
+    from docling_spark.kernels.webp import webp_available
+
+    if webp_available():
+        with pytest.raises(RasterError):
+            decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_media_features_decoded_flag(spark):
