@@ -298,20 +298,241 @@ class _TreeParser(HTMLParser):
                 return
 
 
+# ---------------------------------------------------------------------
+# Whole-document fast tokenizer.
+#
+# html.parser's goahead() is built for INCREMENTAL feeding: every
+# construct can span a chunk boundary, so each iteration pays for
+# resumability (rawdata buffering, -1 "incomplete" returns, position
+# bookkeeping). We always parse a complete document in one shot, so
+# _fast_feed replays goahead(end=1) + close() semantics in a single
+# tight loop: the SAME stdlib regexes (tagfind_tolerant,
+# attrfind_tolerant, locatestarttagend_tolerant, endtagfind, …) make
+# the same parsing decisions, only the orchestration differs.
+# Equivalence is pinned three ways: byte-identical goldens, a
+# tree-equality sweep against the stdlib path over the synthetic crawl
+# corpus, and a hypothesis property (tests/test_properties.py).
+# parse_html additionally falls back to the stdlib path on ANY
+# exception from the fast one.
+
+from html import unescape as _unescape
+from html import parser as _hp
+
+_CDATA_CLOSE = {
+    "script": _hp.re.compile(r"</\s*script\s*>", _hp.re.I),
+    "style": _hp.re.compile(r"</\s*style\s*>", _hp.re.I),
+}
+
+
+def _fast_feed(self: "_TreeParser", rawdata: str) -> None:  # noqa: C901
+    handle_data = self.handle_data
+    locatestart = _hp.locatestarttagend_tolerant.match
+    tagfind = _hp.tagfind_tolerant.match
+    attrfind = _hp.attrfind_tolerant.match
+    endtagfind = _hp.endtagfind.match
+    endendtag = _hp.endendtag.search
+    commentclose = _hp.commentclose.search
+    piclose = _hp.piclose.search
+    find = rawdata.find
+    startswith = rawdata.startswith
+    n = len(rawdata)
+    i = 0
+    cdata_elem = None
+
+    def recover(pos: int) -> int:
+        # goahead's end=1 path for an unterminated construct
+        k = find(">", pos + 1)
+        if k < 0:
+            k = find("<", pos + 1)
+            if k < 0:
+                k = pos + 1
+        else:
+            k += 1
+        handle_data(_unescape(rawdata[pos:k]))
+        return k
+
+    while i < n:
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                handle_data(_unescape(rawdata[i:j]))
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if m is None:
+                return  # unterminated CDATA content is dropped (stdlib)
+            j = m.start()
+            if i < j:
+                handle_data(rawdata[i:j])  # no charref conversion in CDATA
+        i = j
+        if i == n:
+            break
+        c = rawdata[i + 1 : i + 2]
+        if c.isalpha() and c.isascii():  # start tag
+            m = locatestart(rawdata, i)
+            j = m.end()
+            nxt = rawdata[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/" and startswith("/>", j):
+                endpos = j + 2
+            elif nxt == "" or nxt == "/" or (
+                nxt.isascii() and (nxt.isalpha() or nxt == "=")
+            ):
+                # unterminated at EOF (goahead end=1 recovery)
+                i = recover(i)
+                continue
+            else:
+                endpos = j if j > i else i + 1
+            tm = tagfind(rawdata, i + 1)
+            k = tm.end()
+            tag = tm.group(1).lower()
+            attrs = []
+            while k < endpos:
+                am = attrfind(rawdata, k)
+                if not am:
+                    break
+                attrname, rest, attrvalue = am.group(1, 2, 3)
+                if not rest:
+                    attrvalue = None
+                elif (
+                    attrvalue[:1] == "'" == attrvalue[-1:]
+                    or attrvalue[:1] == '"' == attrvalue[-1:]
+                ):
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    attrvalue = _unescape(attrvalue)
+                attrs.append((attrname.lower(), attrvalue))
+                k = am.end()
+            tail = rawdata[k:endpos].strip()
+            if tail not in (">", "/>"):
+                handle_data(rawdata[i:endpos])
+                i = endpos
+                continue
+            if tail == "/>":
+                self.handle_startendtag(tag, attrs)
+            else:
+                self.handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    cdata_elem = tag
+            i = endpos
+        elif c == "/":  # end tag
+            gm = endendtag(rawdata, i + 1)
+            if not gm:
+                if cdata_elem is not None:
+                    return  # same as unterminated CDATA above
+                i = recover(i)
+                continue
+            gtpos = gm.end()
+            em = endtagfind(rawdata, i)
+            if not em:
+                if cdata_elem is not None:
+                    handle_data(rawdata[i:gtpos])
+                    i = gtpos
+                    continue
+                nm = tagfind(rawdata, i + 2)
+                if not nm:
+                    if startswith("</>", i):
+                        i = i + 3
+                        continue
+                    pos = find(">", i + 2)  # bogus comment
+                    if pos == -1:
+                        i = recover(i)
+                        continue
+                    self.handle_comment(rawdata[i + 2 : pos])
+                    i = pos + 1
+                    continue
+                self.handle_endtag(nm.group(1).lower())
+                i = find(">", nm.end()) + 1
+                continue
+            elem = em.group(1).lower()
+            if cdata_elem is not None and elem != cdata_elem:
+                handle_data(rawdata[i:gtpos])
+                i = gtpos
+                continue
+            self.handle_endtag(elem)
+            cdata_elem = None
+            i = gtpos
+        elif startswith("<!--", i):  # comment
+            cm = commentclose(rawdata, i + 4)
+            if not cm:
+                i = recover(i)
+                continue
+            self.handle_comment(rawdata[i + 4 : cm.start()])
+            i = cm.end()
+        elif c == "?":  # processing instruction
+            pm = piclose(rawdata, i + 2)
+            if not pm:
+                i = recover(i)
+                continue
+            self.handle_pi(rawdata[i + 2 : pm.start()])
+            i = pm.end()
+        elif c == "!":  # declaration
+            if startswith("<![", i):
+                # marked section: rare — delegate to the stdlib method
+                self.rawdata = rawdata
+                k = self.parse_marked_section(i)
+                self.rawdata = ""
+                if k < 0:
+                    i = recover(i)
+                    continue
+                i = k
+            elif rawdata[i : i + 9].lower() == "<!doctype":
+                gtpos = find(">", i + 9)
+                if gtpos == -1:
+                    i = recover(i)
+                    continue
+                self.handle_decl(rawdata[i + 2 : gtpos])
+                i = gtpos + 1
+            else:
+                pos = find(">", i + 2)  # bogus comment
+                if pos == -1:
+                    i = recover(i)
+                    continue
+                self.handle_comment(rawdata[i + 2 : pos])
+                i = pos + 1
+        elif i + 1 < n:
+            handle_data("<")
+            i += 1
+        else:
+            break
+    if i < n and cdata_elem is None:
+        handle_data(_unescape(rawdata[i:n]))
+
+
+def parse_html_stdlib(raw: Union[bytes, str]) -> Soup:
+    """Reference path: the stdlib incremental parser (used by the
+    equivalence tests and as parse_html's safety fallback)."""
+    text = _decode_html(raw)
+    parser = _TreeParser()
+    parser.feed(text)
+    parser.close()
+    return parser.root
+
+
+def _decode_html(raw: Union[bytes, str]) -> str:
+    if isinstance(raw, bytes):
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1", errors="replace")
+    return raw
+
+
 def parse_html(raw: Union[bytes, str]) -> Soup:
     """Parse HTML bytes/str into a Soup tree.
 
     Encoding: try UTF-8, fall back to latin-1 (never fails), matching the
     lenient behavior the pipeline needs at crawl scale.
     """
-    if isinstance(raw, bytes):
-        try:
-            text = raw.decode("utf-8")
-        except UnicodeDecodeError:
-            text = raw.decode("latin-1", errors="replace")
-    else:
-        text = raw
+    text = _decode_html(raw)
     parser = _TreeParser()
-    parser.feed(text)
-    parser.close()
+    try:
+        _fast_feed(parser, text)
+    except Exception:
+        # any divergence surprise: re-parse with the stdlib machinery
+        parser = _TreeParser()
+        parser.feed(text)
+        parser.close()
     return parser.root
