@@ -270,6 +270,7 @@ def assemble_from_pages(page_rows: DataFrame) -> DataFrame:
             Block,
             assemble_doc,
             mark_page_furniture,
+            merge_continuations,
             table_from_json,
         )
         from docling_spark.kernels.textout import to_text
@@ -312,6 +313,7 @@ def assemble_from_pages(page_rows: DataFrame) -> DataFrame:
                     p["page_no"]: p["height"] for p in pages if p["height"]
                 }
                 mark_page_furniture(blocks, page_heights)
+                blocks = merge_continuations(blocks)
                 doc = assemble_doc(blocks, name=url)
                 scores = [
                     p["parse_score"] for p in pages if p["parse_score"] is not None
