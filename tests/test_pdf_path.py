@@ -761,3 +761,49 @@ def test_merge_continuations_semantics():
     assert [b.text for b in merge_continuations(cols)] == [
         "ends mid-clause so the column continuation picks it up here."
     ]
+
+
+def _two_page_continuation_pdf() -> bytes:
+    """Classic-xref PDF whose paragraph crosses the page break: page 1
+    ends mid-clause, page 2 resumes lowercase."""
+    def obj(n, body):
+        return b"%d 0 obj\n%s\nendobj\n" % (n, body)
+
+    c1 = (b"BT /F1 11 Tf 72 120 Td (The framework keeps its promise across the) Tj ET\n"
+          b"BT /F1 11 Tf 72 700 Td (A heading-free opening paragraph.) Tj ET")
+    c2 = b"BT /F1 11 Tf 72 700 Td (page boundary without stopping at all.) Tj ET"
+    out = b"%PDF-1.4\n"
+    out += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    out += obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 /MediaBox [0 0 612 792] >>")
+    out += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources << /Font << /F1 7 0 R >> >> >>")
+    out += obj(4, b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R /Resources << /Font << /F1 7 0 R >> >> >>")
+    out += obj(5, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c1), c1))
+    out += obj(6, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2), c2))
+    out += obj(7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    out += b"trailer\n<< /Root 1 0 R >>\n"
+    return out
+
+
+def test_cross_page_merge_identical_in_both_strategies(spark):
+    """A paragraph split by a page break merges in the doc-at-once
+    path AND in the Spark paged path (r4 parity fix) — the synthetic
+    corpus has no continuation candidates, so this pins it directly."""
+    from pyspark.sql import Row
+
+    from docling_spark.operators.convert import convert_one
+    from docling_spark.operators.extract_pdf import extract_pdf_docs
+
+    pdf = _two_page_continuation_pdf()
+    merged = ("The framework keeps its promise across the "
+              "page boundary without stopping at all.")
+
+    r = convert_one("http://x/cont.pdf", pdf)          # doc-at-once
+    assert r["status"] == "success" and merged in r["md"]
+
+    df = spark.createDataFrame(
+        [Row(url="http://x/cont.pdf", content=pdf)]
+    )
+    rows = extract_pdf_docs(df, num_partitions=2).collect()  # paged
+    assert rows[0].status == "success"
+    assert merged in rows[0].md
+    assert rows[0].md.count("framework keeps") == 1
