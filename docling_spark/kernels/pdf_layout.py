@@ -145,6 +145,48 @@ def _merge_group(group: list[TextCell]) -> TextCell:
     )
 
 
+def _dedup_double_draws(cells: list[TextCell]) -> list[TextCell]:
+    """Drop faux-bold double draws: the same text painted twice at a
+    sub-point offset (observed in right_to_left_02: 'و' pairs ~0.1-0.6
+    pt apart). pdfium's text page dedupes coincident glyphs, so the
+    reference never sees the duplicate; without this the merged line
+    doubles the letter. Two cells are one draw when their texts match
+    and their boxes overlap by >60% of the smaller width at the same
+    baseline. Cell ORDER is preserved (row grouping follows draw
+    order, pypdfium2_backend.py:160-196); the later draw of a pair is
+    the one dropped."""
+    order = sorted(range(len(cells)), key=lambda i: (cells[i].t, cells[i].l))
+    dropped: set[int] = set()
+    kept: list[int] = []  # indices, in (t, l) order, surviving so far
+    for idx in order:
+        c = cells[idx]
+        dup_of = None
+        for j in reversed(kept):
+            p = cells[j]
+            if c.t - p.t > 1.0:
+                break
+            if (
+                p.text.strip()
+                and p.text.strip() == c.text.strip()
+                and abs(p.t - c.t) < 1.0
+                and min(p.r, c.r) - max(p.l, c.l)
+                > 0.6 * max(min(p.r - p.l, c.r - c.l), 0.1)
+            ):
+                dup_of = j
+                break
+        if dup_of is None:
+            kept.append(idx)
+        else:
+            # drop the LATER draw of the pair, keep stream order stable
+            dropped.add(max(idx, dup_of))
+            if dup_of > idx:
+                kept.remove(dup_of)
+                kept.append(idx)
+    if not dropped:
+        return cells
+    return [c for i, c in enumerate(cells) if i not in dropped]
+
+
 def merge_horizontal_cells(
     cells: list[TextCell],
     horizontal_threshold_factor: float = 1.0,
@@ -153,6 +195,7 @@ def merge_horizontal_cells(
     """TOPLEFT-origin cells -> row-merged line cells."""
     if not cells:
         return []
+    cells = _dedup_double_draws(cells)
     merged: list[TextCell] = []
     for row in _group_rows(cells, vertical_threshold_factor):
         row = sorted(row, key=lambda c: c.l)

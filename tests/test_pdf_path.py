@@ -807,3 +807,31 @@ def test_cross_page_merge_identical_in_both_strategies(spark):
     assert rows[0].status == "success"
     assert merged in rows[0].md
     assert rows[0].md.count("framework keeps") == 1
+
+
+def test_double_draw_glyph_dedup():
+    """Faux-bold double draws (same text twice at a sub-point offset,
+    right_to_left_02's 'و' pairs) dedup to one glyph like pdfium's
+    text page; genuinely repeated adjacent letters survive, and cell
+    DRAW ORDER is preserved (row grouping depends on it)."""
+    from docling_spark.kernels.pdf_layout import merge_horizontal_cells
+    from docling_spark.kernels.pdf_kernel import TextCell
+
+    def cell(text, l, r, t=100.0, b=112.0):
+        # TOPLEFT cell: constructor order is (text, l, bottom, r, top)
+        return TextCell(text, l, b, r, t, 12.0)
+
+    # double draw: second paint 0.3pt off -> one glyph in the line
+    doubled = [cell("x", 10, 16), cell("x", 10.3, 16.3), cell("y", 17, 23)]
+    assert [c.text for c in merge_horizontal_cells(doubled)] == ["xy"]
+    # legit repetition: adjacent, non-overlapping -> both kept
+    repeated = [cell("l", 10, 14), cell("l", 14, 18), cell("o", 18, 24)]
+    assert [c.text for c in merge_horizontal_cells(repeated)] == ["llo"]
+    # draw order preserved: footer drawn first stays its own line
+    pages = [
+        cell("footer", 10, 60, t=700, b=712),
+        cell("body", 10, 40),
+        cell("text", 45, 70),
+    ]
+    texts = [c.text for c in merge_horizontal_cells(pages)]
+    assert texts == ["footer", "body text"]

@@ -303,7 +303,8 @@ def test_real_world_pdf_fixtures_reading_order():
         # code -> fenced/unescaped like the reference; residue is its
         # own /g-glyph garbage on the symbol-font bullet lists
         "right_to_left_01": 0.84,  # r4: lam-alef ligature kept atomic
-        "right_to_left_02": 0.78,  # through the visual->logical flip
+        "right_to_left_02": 0.85,  # through the visual->logical flip;
+        # faux-bold double-draw glyphs deduped like pdfium
         "right_to_left_03": 0.61,  # r4: form pages emit label/value
         # pairs row-major (_form_row_reorder) like the rb model
     }
