@@ -355,7 +355,14 @@ class HtmlExtractor:
 
         content = soup.body or soup
         for br in brs:
-            if br.parent is not None:  # skip brs inside stripped subtrees
+            # only replace brs still attached under `content` — the
+            # reference scans `soup.body or soup`, so a <br> in <head>
+            # stays untouched, and a br whose ancestor was decomposed is
+            # detached (its chain ends at None before reaching content).
+            anc = br.parent
+            while anc is not None and anc is not content:
+                anc = anc.parent
+            if anc is content:
                 br.replace_with(TextNode("\n"))
 
         # default layer: furniture until the first heading (reference :272-275)

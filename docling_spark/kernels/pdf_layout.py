@@ -855,7 +855,11 @@ def mark_page_furniture(
         first = min(page_bs, key=lambda b: b.t)
         # the whole top band: blocks sharing the first block's line
         band = [x for x in page_bs if x.t < first.b]
-        rest = [x for x in page_bs if x not in band]
+        # compare by identity: dataclass __eq__ would drop a genuine body
+        # block that is value-identical to a band block (duplicated
+        # stamps/watermark lines), mis-computing gap_ok below
+        band_ids = {id(x) for x in band}
+        rest = [x for x in page_bs if id(x) not in band_ids]
         band_bot = max(x.b for x in band)
         band_h = band_bot - first.t
         gap_ok = not rest or min(x.t for x in rest) - band_bot >= band_h

@@ -432,6 +432,8 @@ def luminance_plane(w: int, h: int, channels: int, samples: bytes) -> bytes:
     """8-bit gray plane: Rec.601 luma for color, channel 0 for gray."""
     if channels == 1:
         return samples
+    if channels == 2:  # gray + alpha (e.g. PNG color type 4): luma = gray
+        return samples[0::2]
     import numpy as np
 
     arr = np.frombuffer(samples, dtype=np.uint8).reshape(-1, channels)

@@ -176,6 +176,11 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> tuple[int, int, int
         raise TiffError(f"bits-per-sample {bps} unsupported")
     comp = one(259, 1)
     photo = one(262, 1)
+    if photo == 3 and bps == 16:
+        # baseline palette TIFF is 4/8-bit; 16-bit samples are downshifted
+        # before the ColorMap lookup, which would silently index the LUT
+        # with truncated values — reject rather than emit wrong colors.
+        raise TiffError("16-bit palette tiff unsupported")
     predictor = one(317, 1)
     planar = one(284, 1)
     if planar != 1:

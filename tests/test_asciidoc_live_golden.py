@@ -94,9 +94,13 @@ def _load_reference_backend():
             return _Rec(kind="table")
 
         def add_picture(self, image=None, caption=None):
+            # the real Size model coerces ints to float; mirror that so
+            # the event tuple is comparable with our kernel's floats
             self.events.append(
                 ("picture", getattr(image, "uri", None),
-                 (image.size.width, image.size.height))
+                 getattr(image, "mimetype", None),
+                 getattr(image, "dpi", None),
+                 (float(image.size.width), float(image.size.height)))
             )
             return _Rec(kind="picture")
 
@@ -192,9 +196,11 @@ def _our_events(raw: bytes):
             )
         elif n.kind == "picture":
             img = n.image or {}
+            sz = img.get("size") or {}
             events.append(
                 ("picture", img.get("uri"),
-                 (img.get("width"), img.get("height")))
+                 img.get("mimetype"), img.get("dpi"),
+                 (float(sz.get("width", 0)), float(sz.get("height", 0))))
             )
         elif n.kind in ("text", "paragraph"):
             events.append(("text", n.text))
