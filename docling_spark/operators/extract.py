@@ -141,8 +141,13 @@ def extract_pages(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
     if split_big_docs:
-        # route oversized docs to their own (smaller, more numerous)
-        # tasks so they cannot straggle a dense partition
+        # route oversized docs to their own round-robin-spread tasks so
+        # they cannot straggle a dense url-hash partition: the big side
+        # gets num_partitions extra (mostly tiny) tasks, each owning at
+        # most ceil(n_big / num_partitions) documents. The two branches
+        # re-scan the source; at crawl scale put a size bucket in the
+        # table layout (e.g. Iceberg hidden partitioning on
+        # bucket(length)) so both filters partition-prune instead.
         is_big = F.length("html") >= big_doc_bytes
         small = pages.filter(~is_big).repartition(num_partitions, F.xxhash64("url"))
         big = pages.filter(is_big).repartition(num_partitions)

@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", default="parquet", choices=("parquet", "iceberg"))
     p.add_argument("--limit-bytes", type=int, default=64 << 20,
                    help="max html size; larger rows become status='skipped'")
+    p.add_argument("--split-big-docs", action="store_true",
+                   help="route oversized documents (>= --big-doc-bytes) "
+                        "to their own round-robin-spread tasks so a "
+                        "dense url-hash partition never straggles on a "
+                        "handful of huge pages (north-rule: salted "
+                        "handling of oversized documents)")
+    p.add_argument("--big-doc-bytes", type=int, default=2 << 20,
+                   help="threshold for --split-big-docs (default 2 MiB)")
     p.add_argument("--router", action="store_true",
                    help="run the unified multi-format router (S4, "
                         "operators/convert.py) instead of the HTML-only "
@@ -92,7 +100,12 @@ def run(spark, args) -> dict:
 
         results = convert_any(pages_ok, num_partitions=args.partitions)
     else:
-        results = extract_pages(pages_ok, num_partitions=args.partitions)
+        results = extract_pages(
+            pages_ok,
+            num_partitions=args.partitions,
+            split_big_docs=args.split_big_docs,
+            big_doc_bytes=args.big_doc_bytes,
+        )
 
     # one materialization, three outputs: results, lineage, metrics.
     # persist() avoids re-running the extraction kernel per sink. The

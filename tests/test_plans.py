@@ -52,6 +52,84 @@ def test_extract_single_exchange(spark, pages_path):
     assert "hashpartitioning(xxhash64" in plan
 
 
+def test_split_big_docs_two_branch_plan(spark, pages_path):
+    """north-rule "salted handling of oversized documents": the split
+    plan is a Union of the url-hash branch (co-located small docs) and
+    a RoundRobinPartitioning branch spreading the big docs thinly."""
+    from docling_spark.operators.extract import extract_pages
+
+    pages = spark.read.parquet(pages_path)
+    res = extract_pages(
+        pages, num_partitions=8, split_big_docs=True, big_doc_bytes=64 << 10
+    )
+    plan = _plan(res)
+    assert "Union" in plan
+    assert "RoundRobinPartitioning" in plan      # big side: spread evenly
+    assert "hashpartitioning(xxhash64" in plan   # small side: url-hash
+    assert plan.count("Exchange") == 2           # one per branch, no more
+
+
+def test_split_big_docs_equivalent_and_spread(spark, pages_path):
+    """Flag on/off produce identical rows, and round-robin guarantees no
+    task owns more than ceil(n_big / P) oversized documents.
+
+    The spread assertion runs with AQE partition coalescing disabled:
+    at test scale the 13-row big branch is tiny, so AQE would merge its
+    round-robin partitions and blur the per-task bound. At crawl scale
+    coalescing is byte-targeted (advisoryPartitionSizeInBytes), which
+    re-groups ~1 MB docs into balanced ~64 MB tasks — the same
+    no-straggler property the raw round-robin gives here.
+    """
+    import math
+
+    from docling_spark.operators.extract import extract_pages
+
+    pages = spark.read.parquet(pages_path)
+    thresh = 64 << 10
+    base = extract_pages(pages, num_partitions=8)
+    split = extract_pages(
+        pages, num_partitions=8, split_big_docs=True, big_doc_bytes=thresh
+    )
+    cols = ["url", "status", "md", "n_spans", "bytes_in"]
+    a = sorted(map(tuple, base.select(*cols).collect()))
+    b = sorted(map(tuple, split.select(*cols).collect()))
+    assert a == b
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        pids = (
+            split.withColumn("pid", F.spark_partition_id())
+            .withColumn("big", F.col("bytes_in") >= thresh)
+            .groupBy("pid")
+            .agg(
+                F.sum(F.col("big").cast("int")).alias("n_big"),
+                F.sum((~F.col("big")).cast("int")).alias("n_small"),
+            )
+            .collect()
+        )
+        # Spark's RoundRobinPartitioning distributes each *input*
+        # partition independently (random start per partition), so the
+        # provable per-task bound is ceil(n_big/P) + (#source splits
+        # holding a big row) - 1, not the global ceil.
+        n_src = (
+            pages.filter(F.length("html") >= thresh)
+            .select(F.spark_partition_id().alias("sp"))
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set(key, prev)
+    n_big = sum(r["n_big"] for r in pids)
+    assert n_big > 1  # corpus plants %997 ~1 MB rows + 20% ~80 KB rows
+    # anti-straggler core: no task mixes oversized docs with a dense
+    # small-doc load — the union keeps the branches' tasks disjoint
+    for r in pids:
+        assert r["n_big"] == 0 or r["n_small"] == 0, r
+    bound = math.ceil(n_big / 8) + max(n_src - 1, 0)
+    assert max(r["n_big"] for r in pids) <= bound
+
+
 def test_region_revenue_broadcasts_dims(spark):
     import __spark_entry__ as entry
 
