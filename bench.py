@@ -14,6 +14,18 @@ regressions on unchanged plans); medians make rounds comparable.
 
 Extra keys beyond the driver contract: ``docs_per_sec`` (headline
 throughput, from the median extract time) and ``n_pages``.
+
+Load-aware protocol (round-5): every repeat records /proc/loadavg and
+the CPU steal delta around it into ``load`` so a contended measurement
+window is visible in the record itself instead of needing an
+independent re-run to diagnose (rounds 2 and 4 both produced phantom
+±25% swings on unchanged, plan-tested queries). The process also pins
+itself to the first $SPARK_GRAFT_CPUS cores via sched_setaffinity
+(disable with SPARK_GRAFT_PIN=0), matching jobs/scaling_bench.py, so
+the JVM's sizing decisions see a stable core budget. ``queries_min``
+is the reproducible-signal column: min-of-repeats is robust to
+transient host contention, median to one-off fast flukes — compare
+rounds on min when the load markers disagree.
 """
 
 from __future__ import annotations
@@ -32,6 +44,39 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PAGES_PER_DOC = int(os.environ.get("SPARK_GRAFT_PAGES_PER_DOC", "4"))
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_CACHE", "/tmp/docling_spark_bench")
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+PIN = os.environ.get("SPARK_GRAFT_PIN", "1") != "0"
+
+
+def pin_affinity(cpus: int) -> bool:
+    """Bind this process (and every child: JVM, python workers) to the
+    first ``cpus`` cores, like jobs/scaling_bench.py's per-level runs.
+    No-op where unsupported; returns whether the pin took effect."""
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))
+        return True
+    except (AttributeError, OSError, ValueError):
+        return False
+
+
+def host_load() -> dict:
+    """One host-contention sample: 1-min loadavg, runnable-thread count
+    and the monotonically increasing steal jiffies from /proc/stat.
+    Empty dict on non-Linux hosts — markers are best-effort."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        out["load1"] = float(parts[0])
+        out["procs_running"] = int(parts[3].split("/")[0])
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/proc/stat") as f:
+            cpu = f.readline().split()
+        out["steal_jiffies"] = int(cpu[8]) if len(cpu) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
 
 
 def build_spark(cpus: int):
@@ -87,25 +132,49 @@ def warmup(spark) -> None:
     extract_pages(tiny, num_partitions=CPUS * 2).groupBy("status").count().collect()
 
 
-def timed(fn, repeats: int = REPEATS, spark=None) -> tuple[float, float, float]:
-    """(median, min, max) wall seconds over ``repeats`` runs.
+def timed(
+    fn, repeats: int = REPEATS, spark=None
+) -> tuple[float, float, float, list[dict]]:
+    """(median, min, max, load_samples) wall seconds over ``repeats``.
 
     Each repeat is hermetic: Spark's CacheManager matches persisted
     plans by canonicalized form, so a query that persist()s (e.g. the
     MinHash shingle scan) would silently serve repeats 2..n from repeat
     1's cache and the median would measure cache hits, not the query.
-    clearCache() before every repeat keeps the measurement honest."""
+    clearCache() before every repeat keeps the measurement honest.
+
+    ``load_samples`` carries one dict per repeat: wall seconds, 1-min
+    loadavg before/after, runnable threads and the steal-jiffies delta
+    across the repeat — enough to adjudicate a contended window from
+    the record alone."""
     ts = []
+    loads: list[dict] = []
     for _ in range(repeats):
         if spark is not None:
             spark.catalog.clearCache()
+        before = host_load()
         t0 = time.perf_counter()
         fn()
-        ts.append(time.perf_counter() - t0)
-    return statistics.median(ts), min(ts), max(ts)
+        dt = time.perf_counter() - t0
+        after = host_load()
+        ts.append(dt)
+        loads.append(
+            {
+                "sec": round(dt, 3),
+                "load1_before": before.get("load1"),
+                "load1_after": after.get("load1"),
+                "procs_running_before": before.get("procs_running"),
+                "procs_running_after": after.get("procs_running"),
+                "steal_jiffies_delta": (
+                    after.get("steal_jiffies", 0) - before.get("steal_jiffies", 0)
+                ),
+            }
+        )
+    return statistics.median(ts), min(ts), max(ts), loads
 
 
 def main() -> None:
+    pinned = pin_affinity(CPUS) if PIN else False
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -120,6 +189,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     tmin: dict[str, float] = {}
     tmax: dict[str, float] = {}
+    qload: dict[str, list[dict]] = {}
 
     def snapshot(n_pages: int, n_ok: int, t_extract: float, partial: bool) -> dict:
         out = {
@@ -135,6 +205,8 @@ def main() -> None:
             "extract_success": n_ok,
             "docs_per_sec": round(n_pages / t_extract, 1) if t_extract else 0.0,
             "cpus": CPUS,
+            "pinned_affinity": pinned,
+            "load": dict(qload),
         }
         if partial:
             # progressive snapshot: if the harness kills a long run, the
@@ -155,10 +227,11 @@ def main() -> None:
         agg = res.groupBy("status").count().collect()
         n_ok_box[0] = sum(r["count"] for r in agg if r["status"] == "success")
 
-    med, lo, hi = timed(run_extract, spark=spark)
+    med, lo, hi, loads = timed(run_extract, spark=spark)
     timings["extract"] = round(med, 3)
     tmin["extract"] = round(lo, 3)
     tmax["extract"] = round(hi, 3)
+    qload["extract"] = loads
     t_extract = med
     n_ok = n_ok_box[0]
     snapshot(n_pages, n_ok, t_extract, partial=True)
@@ -174,12 +247,13 @@ def main() -> None:
         "x_minhash_pairs",
         "q_ann_topk",
     ):
-        med, lo, hi = timed(
+        med, lo, hi, loads = timed(
             lambda name=name: qs[name](spark, SF_DIR).collect(), spark=spark
         )
         timings[name] = round(med, 3)
         tmin[name] = round(lo, 3)
         tmax[name] = round(hi, 3)
+        qload[name] = loads
         snapshot(n_pages, n_ok, t_extract, partial=True)
 
     snapshot(n_pages, n_ok, t_extract, partial=False)
