@@ -41,6 +41,7 @@ class TextNode(str):
     """A text node; subclass of str like bs4's NavigableString."""
 
     __slots__ = ("parent",)
+    is_tag = False  # cheap type test for the descendants() hot loop
 
     def __new__(cls, value: str):
         self = super().__new__(cls, value)
@@ -96,6 +97,7 @@ for _t in BLOCK_TAG_NAMES:
 
 class Tag:
     __slots__ = ("name", "attrs", "contents", "parent", "watch")
+    is_tag = True
 
     def __init__(self, name: str, attrs: Optional[dict] = None):
         self.name = name
@@ -122,19 +124,20 @@ class Tag:
     def descendants(self) -> Iterator[Node]:
         # iterative pre-order DFS: nested `yield from` generators cost
         # one Python frame per tree level per item (profiled at ~13% of
-        # kernel time on deep crawl pages)
+        # kernel time on deep crawl pages); for/else replaces the
+        # `advanced` flag and the class-attr is_tag test replaces
+        # isinstance in the per-node loop
         stack: list[Iterator[Node]] = [iter(self.contents)]
+        push = stack.append
+        pop = stack.pop
         while stack:
-            it = stack[-1]
-            advanced = False
-            for node in it:
+            for node in stack[-1]:
                 yield node
-                if isinstance(node, Tag) and node.contents:
-                    stack.append(iter(node.contents))
-                    advanced = True
+                if node.is_tag and node.contents:
+                    push(iter(node.contents))
                     break
-            if not advanced:
-                stack.pop()
+            else:
+                pop()
 
     def find_all(
         self,
@@ -142,26 +145,54 @@ class Tag:
         recursive: bool = True,
         has_attr: Optional[str] = None,
     ) -> list["Tag"]:
+        # direct iterative DFS instead of iterating descendants(): the
+        # generator costs one resume per *node*, these scans are the
+        # kernel's most frequent subtree operations (profiled)
         out: list[Tag] = []
-        nodes: Iterable[Node] = self.descendants() if recursive else self.contents
-        for node in nodes:
-            if not isinstance(node, Tag):
-                continue
-            if not _name_matches(node.name, name):
-                continue
-            if has_attr is not None and has_attr not in node.attrs:
-                continue
-            out.append(node)
+        if not recursive:
+            for node in self.contents:
+                if (
+                    node.is_tag
+                    and _name_matches(node.name, name)
+                    and (has_attr is None or has_attr in node.attrs)
+                ):
+                    out.append(node)
+            return out
+        stack: list[Iterator[Node]] = [iter(self.contents)]
+        while stack:
+            for node in stack[-1]:
+                if node.is_tag:
+                    if _name_matches(node.name, name) and (
+                        has_attr is None or has_attr in node.attrs
+                    ):
+                        out.append(node)
+                    if node.contents:
+                        stack.append(iter(node.contents))
+                        break
+            else:
+                stack.pop()
         return out
 
     def __call__(self, name=None, recursive: bool = True, has_attr=None):
         return self.find_all(name, recursive=recursive, has_attr=has_attr)
 
     def find(self, name=None, recursive: bool = True) -> Optional["Tag"]:
-        nodes: Iterable[Node] = self.descendants() if recursive else self.contents
-        for node in nodes:
-            if isinstance(node, Tag) and _name_matches(node.name, name):
-                return node
+        if not recursive:
+            for node in self.contents:
+                if node.is_tag and _name_matches(node.name, name):
+                    return node
+            return None
+        stack: list[Iterator[Node]] = [iter(self.contents)]
+        while stack:
+            for node in stack[-1]:
+                if node.is_tag:
+                    if _name_matches(node.name, name):
+                        return node
+                    if node.contents:
+                        stack.append(iter(node.contents))
+                        break
+            else:
+                stack.pop()
         return None
 
     def find_parent(self, name) -> Optional["Tag"]:

@@ -73,6 +73,9 @@ FORMAT_TAG_MAP: dict[str, dict] = {
 _HEADING_NAMES = ("h1", "h2", "h3", "h4", "h5", "h6")
 _WS_RE = re.compile(r"\s+|\n+")
 
+# sentinel for _push_hyperlink: "leave self.hyperlink as-is on exit"
+_KEEP = object()
+
 # reference: html_backend.py:947-967 — 19-entry unicode cleanup table
 _UNICODE_REPLACEMENTS = {
     " ": " ",
@@ -374,20 +377,25 @@ class HtmlExtractor:
 
     # -- formatting / hyperlink state --------------------------------------
     def _collect_parent_format_tags(self, item) -> list[str]:
-        """reference: html_backend.py:367-377."""
-        tags = []
-        for format_tag in FORMAT_TAG_MAP:
-            p = item.parent
-            while p is not None:
-                if p.name == format_tag:
-                    tags.append(format_tag)
-                    break
-                p = p.parent
-        return tags
+        """reference: html_backend.py:367-377 — one tag per FORMAT_TAG_MAP
+        entry present anywhere on the ancestor chain, in map order (the
+        reference walks the chain once per map entry; a single walk +
+        membership set computes the identical list)."""
+        seen: set[str] = set()
+        p = item.parent
+        while p is not None:
+            if p.name in FORMAT_TAG_MAP:
+                seen.add(p.name)
+            p = p.parent
+        if not seen:
+            return []
+        return [t for t in FORMAT_TAG_MAP if t in seen]
 
     @property
     def _formatting(self) -> Optional[Formatting]:
         """reference: html_backend.py:379-386."""
+        if not self.format_tags:  # the overwhelmingly common case
+            return None
         kwargs: dict = {}
         for t in self.format_tags:
             kwargs.update(FORMAT_TAG_MAP[t])
@@ -405,25 +413,35 @@ class HtmlExtractor:
             finally:
                 self.format_tags = self.format_tags[: -len(tags)]
 
-    @contextmanager
-    def _use_hyperlink(self, tag: Tag):
-        """reference: html_backend.py:468-490."""
+    def _push_hyperlink(self, tag: Tag):
+        """reference: html_backend.py:468-490. Returns the hyperlink to
+        restore on exit, or the _KEEP sentinel when the reference would
+        leave the current value in place (no/empty href, or a href that
+        normalizes to a falsy value — the reference assigns it and does
+        NOT restore). Plain call + try/finally at the call sites beats
+        a @contextmanager by ~2 frames per child in the hottest loop."""
         this_href = tag.get("href")
         if this_href is None:
-            yield
-            return
-        old = None
-        new = None
+            return _KEEP
         if isinstance(this_href, str) and this_href:
             old = self.hyperlink
             if self.original_url is not None:
                 this_href = urljoin(str(self.original_url), this_href)
             new = normalize_hyperlink(this_href)
             self.hyperlink = new
+            if new:
+                return old
+        return _KEEP
+
+    @contextmanager
+    def _use_hyperlink(self, tag: Tag):
+        """Contextmanager shell over _push_hyperlink for the colder
+        call sites (reference: html_backend.py:468-490)."""
+        old = self._push_hyperlink(tag)
         try:
             yield
         finally:
-            if new:
+            if old is not _KEEP:
                 self.hyperlink = old
 
     @contextmanager
@@ -494,7 +512,8 @@ class HtmlExtractor:
 
         if isinstance(item, TextNode):
             text = item.strip()
-            code = any(t in self.format_tags for t in CODE_TAGS)
+            ft = self.format_tags
+            code = bool(ft) and ("code" in ft or "kbd" in ft or "samp" in ft)
             if text:
                 return [
                     AnnotatedText(
@@ -518,21 +537,40 @@ class HtmlExtractor:
         result: list[AnnotatedText] = []
         tag: Tag = item
         if not ignore_list or tag.name not in ("ul", "ol"):
+            # hottest loop in the kernel: the format/hyperlink pushes
+            # are inlined (append/del and _push_hyperlink) instead of
+            # @contextmanager — same state discipline, no generator +
+            # _GeneratorContextManager per child (profiled ~7% of
+            # convert time on the crawl corpus)
             for child in tag:
-                if isinstance(child, Tag) and child.name in FORMAT_TAG_MAP:
-                    with self._use_format([child.name]):
-                        result.extend(
-                            self._extract(child, ignore_list, keep_newlines=keep_newlines)
-                        )
-                elif isinstance(child, Tag) and child.name == "a":
-                    with self._use_hyperlink(child):
-                        result.extend(
-                            self._extract(child, ignore_list, keep_newlines=keep_newlines)
-                        )
-                else:
-                    result.extend(
-                        self._extract(child, ignore_list, keep_newlines=keep_newlines)
-                    )
+                if isinstance(child, Tag):
+                    cname = child.name
+                    if cname in FORMAT_TAG_MAP:
+                        self.format_tags.append(cname)
+                        try:
+                            result.extend(
+                                self._extract(
+                                    child, ignore_list, keep_newlines=keep_newlines
+                                )
+                            )
+                        finally:
+                            del self.format_tags[-1]
+                        continue
+                    if cname == "a":
+                        old = self._push_hyperlink(child)
+                        try:
+                            result.extend(
+                                self._extract(
+                                    child, ignore_list, keep_newlines=keep_newlines
+                                )
+                            )
+                        finally:
+                            if old is not _KEEP:
+                                self.hyperlink = old
+                        continue
+                result.extend(
+                    self._extract(child, ignore_list, keep_newlines=keep_newlines)
+                )
         return result
 
     # -- the DOM walk ---------------------------------------------------------
