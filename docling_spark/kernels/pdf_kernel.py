@@ -547,7 +547,8 @@ class PdfDocument:
             d0 = self.resolve(desc0[0])
             if isinstance(d0, dict):
                 base = self.resolve(d0.get("BaseFont"))
-        bname = str(base or "").lower()
+        fi.base_font = str(base or "")
+        bname = fi.base_font.lower()
         # strip the subset prefix (AAAAAB+SFBX1000 -> sfbx1000); TeX
         # faces encode weight positionally: cmbx/sfbx = bold extended,
         # cmb = bold — alongside the usual Bold/Black/Heavy names
@@ -596,6 +597,14 @@ class PdfDocument:
                             ch = _glyph_to_char(str(el))
                             if ch is not None:
                                 fi.diff_map[code] = ch
+                            else:
+                                # non-AGL glyph name (subset fonts name
+                                # glyphs g3/g115/...): docling-parse
+                                # keeps the glyph name itself, slash
+                                # included, as the extracted text —
+                                # see groundtruth redp5110_sampled.md
+                                # ("/g115/g3 /g40...")
+                                fi.diff_map[code] = "/" + str(el)
                             code += 1
             first_char = self.resolve(fd.get("FirstChar"))
             widths = self.resolve(fd.get("Widths"))
@@ -797,6 +806,7 @@ class FontInfo:
 
     code_bytes: int = 1  # 1 = simple font, 2 = Type0/Identity-H
     bold: bool = False  # BaseFont name carries Bold/Black/Heavy
+    base_font: str = ""  # raw /BaseFont name (for GLYPH<> fallbacks)
     to_unicode: dict[int, str] | None = None
     diff_map: dict[int, str] | None = None  # simple-font /Differences
     widths: dict[int, float] | None = None
@@ -827,6 +837,14 @@ class FontInfo:
                     ch = bytes([code]).decode(
                         self.base_encoding or "latin-1", "replace"
                     )
+                    if ch < " " and ch not in "\t\n\r":
+                        # a C0 control is never real text: the code has
+                        # no unicode mapping at all. docling-parse
+                        # emits a GLYPH<c=...,font=...> marker here
+                        # (groundtruth redp5110_sampled.md:91) — pin
+                        # the same text so quality scoring and goldens
+                        # agree with the reference.
+                        ch = f"GLYPH<c={code},font=/{self.base_font}>"
                     out.append((code, ch.translate(_LIGATURES)))
         return out
 

@@ -243,11 +243,15 @@ def test_real_world_pdf_fixtures_content_recall():
         "code_and_formula": 0.98,
         "multi_page": 0.98,
         "picture_classification": 0.98,
-        "redp5110_sampled": 0.87,
+        # 0.93: r5 docling-parse glyph-fallback parity (unmapped
+        # /Differences names kept as "/gNN", GLYPH<c=..,font=..>
+        # markers for unmapped control codes) recovers the symbol-font
+        # bullet lists the reference also extracts as glyph garbage
+        "redp5110_sampled": 0.93,
         # RTL floors cover ARABIC words too (round-3 unicode regex;
         # the old [A-Za-z0-9] counter silently ignored them)
-        "right_to_left_01": 0.81,
-        "right_to_left_02": 0.77,
+        "right_to_left_01": 0.89,
+        "right_to_left_02": 0.88,
         "right_to_left_03": 0.94,
     }
 
@@ -294,18 +298,19 @@ def test_real_world_pdf_fixtures_reading_order():
     sys.setrecursionlimit(20000)
     GT = Path("/root/reference/tests/data/groundtruth/docling_v2")
     floors = {
-        "2305.03393v1-pg9": 0.87,
+        "2305.03393v1-pg9": 0.88,
         "amt_handbook_sample": 0.96,
         "code_and_formula": 0.97,
         "multi_page": 0.98,
         "picture_classification": 0.99,
-        "redp5110_sampled": 0.87,  # r4: SQL listings now classified
-        # code -> fenced/unescaped like the reference; residue is its
-        # own /g-glyph garbage on the symbol-font bullet lists
-        "right_to_left_01": 0.84,  # r4: lam-alef ligature kept atomic
-        "right_to_left_02": 0.85,  # through the visual->logical flip;
+        "redp5110_sampled": 0.90,  # r5: glyph-fallback parity — the
+        # reference's own "/gNN" and GLYPH<c=..,font=..> garbage on
+        # symbol-font bullets is now reproduced verbatim (measured
+        # 0.913; r4 was 0.87 with the garbage dropped)
+        "right_to_left_01": 0.86,  # r4: lam-alef ligature kept atomic
+        "right_to_left_02": 0.86,  # through the visual->logical flip;
         # faux-bold double-draw glyphs deduped like pdfium
-        "right_to_left_03": 0.61,  # r4: form pages emit label/value
+        "right_to_left_03": 0.63,  # r4: form pages emit label/value
         # pairs row-major (_form_row_reorder) like the rb model
     }
 
