@@ -33,6 +33,7 @@ per-executor model without touching the driver.
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -64,6 +65,24 @@ def classify_code_language(code: str) -> str:
         if any(n.lower() in low for n in needles):
             return lang
     return "unknown"
+
+
+# the reference model emits "<_lang_>cleaned code"; this regex is the
+# reference's own (code_formula_model.py:178, flags=DOTALL), pinned
+# live against the executed reference source in
+# tests/test_enrich_live_golden.py
+_LANG_TAG_RE = re.compile(r"^<_([^_>]+)_>\s*(.*)", re.DOTALL)
+
+
+def extract_code_language(input_string: str) -> tuple[str, str | None]:
+    """(remainder, language) from a model output that may start with
+    ``<_language_>`` — exact semantics of the reference's
+    CodeFormulaModel._extract_code_language
+    (code_formula_model.py:156-185)."""
+    m = _LANG_TAG_RE.match(input_string)
+    if m:
+        return str(m.group(2)), str(m.group(1))
+    return input_string, None
 
 
 ENRICHMENT_SCHEMA = StructType(
@@ -153,9 +172,19 @@ def attach_enrichments(results: DataFrame, enriched: DataFrame) -> DataFrame:
 
 def enrich_code_language(results: DataFrame) -> DataFrame:
     """The shipped concrete enrichment: tag every code span with its
-    heuristic language (stands in for V4's CodeFormula tagger)."""
-    return enrich_spans(
-        results,
-        labels=("code",),
-        model_fn=lambda s: s.map(classify_code_language),
-    )
+    heuristic language (stands in for V4's CodeFormula tagger).
+
+    The stand-in predictor emits the reference model's wire format —
+    a ``<_language_>`` prefix ahead of the code — and the pipeline
+    parses it back with the reference's own regex semantics
+    (extract_code_language), so swapping in the real model is a
+    one-line change and the parse stage carries live-golden coverage
+    (tests/test_enrich_live_golden.py)."""
+
+    def model_fn(snippets: pd.Series) -> pd.Series:
+        tagged = snippets.map(
+            lambda code: f"<_{classify_code_language(code)}_> {code}"
+        )
+        return tagged.map(lambda out: extract_code_language(out)[1] or "unknown")
+
+    return enrich_spans(results, labels=("code",), model_fn=model_fn)
