@@ -154,6 +154,88 @@ def _lzw_decode(src: bytes, expect: int, early: bool = True) -> bytes:
     return bytes(out)
 
 
+def _decompress(
+    segment: bytes, comp: int, expect: int, lzw_state: list
+) -> bytes:
+    """One strip/tile payload -> raw bytes (>= expect or TiffError).
+    ``lzw_state`` is a one-element list carrying the per-file LZW
+    variant (early/late code-width change), detected on first use."""
+    if comp == 1:
+        dec = segment[:expect]
+    elif comp == 32773:
+        dec = _unpackbits(segment, expect)
+    elif comp == 5:
+        if lzw_state[0] is None:
+            # writers split between early- and late-change LZW;
+            # detect on the first segment, remember for the rest
+            try:
+                dec = _lzw_decode(segment, expect, early=True)
+                if len(dec) < expect:
+                    raise TiffError("short strip")
+                lzw_state[0] = True
+            except TiffError:
+                dec = _lzw_decode(segment, expect, early=False)
+                lzw_state[0] = False
+        else:
+            dec = _lzw_decode(segment, expect, early=lzw_state[0])
+    else:
+        raise TiffError(f"compression {comp} unsupported")
+    if len(dec) < expect:
+        raise TiffError("short strip data")
+    return dec[:expect]
+
+
+def _samples_from_raw(
+    raw: bytes,
+    height: int,
+    width: int,
+    spp: int,
+    bps: int,
+    row_bytes: int,
+    big_endian: bool,
+    predictor: int,
+    photo: int,
+) -> "np.ndarray":
+    """Packed row-major bytes -> (h, w, spp) uint8 samples with the
+    horizontal-differencing predictor applied. Shared by the strip,
+    tile and planar-plane paths (predictor semantics are identical,
+    but reset at each segment's own row width — which is why tiles
+    must come through here per-tile, not post-assembly)."""
+    if bps == 8:
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(
+            height, width, spp
+        ).copy()
+        if predictor == 2:
+            arr = np.cumsum(arr.astype(np.uint32), axis=1,
+                            dtype=np.uint32).astype(np.uint8)
+    elif bps == 16:
+        fmt = ">u2" if big_endian else "<u2"
+        arr16 = np.frombuffer(raw, dtype=fmt).reshape(height, width, spp)
+        if predictor == 2:
+            arr16 = np.cumsum(arr16.astype(np.uint32), axis=1,
+                              dtype=np.uint32).astype(np.uint16)
+        arr = (arr16 >> 8).astype(np.uint8).copy()
+    else:  # 1 or 4 bit, spp must be 1 for baseline bilevel/gray/palette
+        if spp != 1:
+            raise TiffError("sub-byte depth with multiple samples")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, row_bytes)
+        bits = np.unpackbits(rows, axis=1)
+        if bps == 1:
+            arr = bits[:, :width].reshape(height, width, 1)
+            if photo != 3:  # bilevel: expand to full range
+                arr = arr * np.uint8(255)
+        else:  # 4-bit: regroup pairs of nibble bits
+            nib = bits.reshape(height, -1, 4)
+            vals = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                    + nib[:, :, 2] * 2 + nib[:, :, 3]).astype(np.uint8)
+            arr = vals[:, :width].reshape(height, width, 1)
+            if photo != 3:
+                arr = arr * np.uint8(17)  # 0..15 -> 0..255
+    if predictor not in (1, 2):
+        raise TiffError(f"predictor {predictor} unsupported")
+    return arr
+
+
 def _decode_page(data: bytes, tags: dict[int, list[int]]) -> tuple[int, int, int, bytes]:
     def one(tag, default=None):
         v = tags.get(tag)
@@ -183,92 +265,103 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> tuple[int, int, int
         raise TiffError("16-bit palette tiff unsupported")
     predictor = one(317, 1)
     planar = one(284, 1)
-    if planar != 1:
-        raise TiffError("planar configuration 2 unsupported")
-    if 322 in tags or 323 in tags:
-        raise TiffError("tiled tiff unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise TiffError("missing strip offsets/counts")
-    rows_per_strip = one(278, height)
-    row_bytes = (width * spp * bps + 7) // 8
+    if planar not in (1, 2):
+        raise TiffError(f"planar configuration {planar} unsupported")
+    big_endian = data[:2] == b"MM"
+    tiled = 322 in tags or 323 in tags
+    lzw_state: list = [None]  # per-file LZW variant, detected on first use
 
-    raw = bytearray()
-    rows_done = 0
-    lzw_early = None  # per-file LZW variant, detected on the first strip
-    for si, (so, sc) in enumerate(zip(offsets, counts)):
-        if so + sc > len(data):
+    def segment(off: int, cnt: int, expect: int) -> bytes:
+        if off + cnt > len(data):
             raise TiffError("strip beyond EOF")
-        strip = data[so : so + sc]
-        nrows = min(rows_per_strip, height - rows_done)
-        expect = row_bytes * nrows
-        if comp == 1:
-            dec = strip[:expect]
-        elif comp == 32773:
-            dec = _unpackbits(strip, expect)
-        elif comp == 5:
-            if lzw_early is None:
-                # writers split between early- and late-change LZW;
-                # detect on the first strip, remember for the rest
-                try:
-                    dec = _lzw_decode(strip, expect, early=True)
-                    if len(dec) < expect:
-                        raise TiffError("short strip")
-                    lzw_early = True
-                except TiffError:
-                    dec = _lzw_decode(strip, expect, early=False)
-                    lzw_early = False
-            else:
-                dec = _lzw_decode(strip, expect, early=lzw_early)
+        return _decompress(data[off : off + cnt], comp, expect, lzw_state)
+
+    if tiled:
+        # TIFF 6.0 §15: the image is a grid of tw x th tiles stored
+        # left-to-right, top-to-bottom; edge tiles are padded to full
+        # tile size. The predictor resets per tile row, so each tile
+        # converts through _samples_from_raw on its own.
+        if planar != 1:
+            raise TiffError("tiled planar-2 tiff unsupported")
+        tw = one(322)
+        th = one(323)
+        if not tw or not th or tw * th > 268_435_456:
+            raise TiffError("bad tile dimensions")
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing tile offsets/counts")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) < across * down:
+            raise TiffError("missing tiles")
+        tile_row_bytes = (tw * spp * bps + 7) // 8
+        expect = tile_row_bytes * th
+        canvas = np.zeros((height, width, spp), dtype=np.uint8)
+        for ty in range(down):
+            for tx in range(across):
+                off, cnt = (
+                    offsets[ty * across + tx],
+                    counts[ty * across + tx],
+                )
+                tile = _samples_from_raw(
+                    segment(off, cnt, expect), th, tw, spp, bps,
+                    tile_row_bytes, big_endian, predictor, photo,
+                )
+                y0, x0 = ty * th, tx * tw
+                hc, wc = min(th, height - y0), min(tw, width - x0)
+                canvas[y0 : y0 + hc, x0 : x0 + wc] = tile[:hc, :wc]
+        arr = canvas
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise TiffError("missing strip offsets/counts")
+        rows_per_strip = one(278, height)
+        if rows_per_strip <= 0:
+            raise TiffError("bad rows-per-strip")
+        strips_per_plane = (height + rows_per_strip - 1) // rows_per_strip
+        if planar == 2:
+            # PlanarConfiguration 2: all of component 0's strips, then
+            # component 1's, ... — decode each plane as a 1-sample
+            # image and interleave
+            if bps not in (8, 16):
+                raise TiffError("sub-byte planar-2 tiff unsupported")
+            if len(offsets) < strips_per_plane * spp:
+                raise TiffError("missing strips")
+            row_bytes = (width * bps + 7) // 8
+            planes = []
+            for p in range(spp):
+                raw = bytearray()
+                rows_done = 0
+                for si in range(strips_per_plane):
+                    idx = p * strips_per_plane + si
+                    nrows = min(rows_per_strip, height - rows_done)
+                    raw += segment(
+                        offsets[idx], counts[idx], row_bytes * nrows
+                    )
+                    rows_done += nrows
+                planes.append(
+                    _samples_from_raw(
+                        bytes(raw), height, width, 1, bps, row_bytes,
+                        big_endian, predictor, photo,
+                    )[:, :, 0]
+                )
+            arr = np.stack(planes, axis=2)
         else:
-            raise TiffError(f"compression {comp} unsupported")
-        if len(dec) < expect:
-            raise TiffError("short strip data")
-        raw += dec[:expect]
-        rows_done += nrows
-    if rows_done < height:
-        raise TiffError("missing strips")
-
-    # -> (h, w, spp) uint8 samples
-    if bps == 8:
-        arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-            height, width, spp
-        ).copy()
-    elif bps == 16:
-        fmt = ">u2" if data[:2] == b"MM" else "<u2"
-        arr16 = np.frombuffer(bytes(raw), dtype=fmt).reshape(
-            height, width, spp
-        )
-        if predictor == 2:
-            arr16 = np.cumsum(arr16.astype(np.uint32), axis=1,
-                              dtype=np.uint32).astype(np.uint16)
-            predictor = 1
-        arr = (arr16 >> 8).astype(np.uint8).copy()
-    else:  # 1 or 4 bit, spp must be 1 for baseline bilevel/gray/palette
-        if spp != 1:
-            raise TiffError("sub-byte depth with multiple samples")
-        rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
-            height, row_bytes
-        )
-        bits = np.unpackbits(rows, axis=1)
-        if bps == 1:
-            arr = bits[:, :width].reshape(height, width, 1)
-            if photo != 3:  # bilevel: expand to full range
-                arr = arr * np.uint8(255)
-        else:  # 4-bit: regroup pairs of nibble bits
-            nib = bits.reshape(height, -1, 4)
-            vals = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
-                    + nib[:, :, 2] * 2 + nib[:, :, 3]).astype(np.uint8)
-            arr = vals[:, :width].reshape(height, width, 1)
-            if photo != 3:
-                arr = arr * np.uint8(17)  # 0..15 -> 0..255
-
-    if predictor == 2 and bps == 8:
-        arr = np.cumsum(arr.astype(np.uint32), axis=1,
-                        dtype=np.uint32).astype(np.uint8)
-    elif predictor not in (1, 2):
-        raise TiffError(f"predictor {predictor} unsupported")
+            row_bytes = (width * spp * bps + 7) // 8
+            raw = bytearray()
+            rows_done = 0
+            for so, sc in zip(offsets, counts):
+                nrows = min(rows_per_strip, height - rows_done)
+                raw += segment(so, sc, row_bytes * nrows)
+                rows_done += nrows
+            if rows_done < height:
+                raise TiffError("missing strips")
+            arr = _samples_from_raw(
+                bytes(raw), height, width, spp, bps, row_bytes,
+                big_endian, predictor, photo,
+            )
 
     if photo == 0:  # WhiteIsZero
         arr = np.uint8(255) - arr
@@ -390,35 +483,71 @@ def _lzw_encode(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _encode_segment(raw: bytes, row_bytes: int, compression: int) -> bytes:
+    if compression == 32773:
+        return b"".join(
+            _packbits_encode(raw[i : i + row_bytes])
+            for i in range(0, len(raw), row_bytes)
+        )
+    if compression == 5:
+        return _lzw_encode(raw)
+    return raw
+
+
 def encode_tiff(
     pages: list[tuple[int, int, int, bytes]],
     compression: int = 1,
     rows_per_strip: int = 64,
+    tile_size: int | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Little-endian baseline TIFF from (w, h, channels, samples)
-    pages; compression 1 (none), 5 (LZW) or 32773 (PackBits)."""
+    pages; compression 1 (none), 5 (LZW) or 32773 (PackBits).
+    ``tile_size`` switches to tiled layout (TIFF 6.0 §15, square
+    tiles, edge tiles zero-padded); ``planar=2`` stores each
+    component's strips separately (PlanarConfiguration 2)."""
     if compression not in (1, 5, 32773):
         raise TiffError(f"cannot encode compression {compression}")
+    if planar not in (1, 2) or (tile_size and planar != 1):
+        raise TiffError("unsupported layout combination")
+    if tile_size is not None and (tile_size <= 0 or tile_size % 16):
+        raise TiffError("tile size must be a positive multiple of 16")
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
     ifd_ptr_pos = 4
     for w, h, ch, samples in pages:
         if ch not in (1, 3, 4) or len(samples) != w * h * ch:
             raise TiffError("bad page shape")
         row_bytes = w * ch
-        strips = []
-        for y0 in range(0, h, rows_per_strip):
-            nrows = min(rows_per_strip, h - y0)
-            raw = samples[y0 * row_bytes : (y0 + nrows) * row_bytes]
-            if compression == 32773:
-                enc = b"".join(
-                    _packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
-                    for r in range(nrows)
-                )
-            elif compression == 5:
-                enc = _lzw_encode(raw)
-            else:
-                enc = raw
-            strips.append(enc)
+        if tile_size is not None:
+            ts = tile_size
+            arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
+            strips = []
+            for y0 in range(0, h, ts):
+                for x0 in range(0, w, ts):
+                    tile = np.zeros((ts, ts, ch), dtype=np.uint8)
+                    hc, wc = min(ts, h - y0), min(ts, w - x0)
+                    tile[:hc, :wc] = arr[y0 : y0 + hc, x0 : x0 + wc]
+                    strips.append(
+                        _encode_segment(tile.tobytes(), ts * ch, compression)
+                    )
+        elif planar == 2:
+            arr = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
+            strips = []
+            for p in range(ch):
+                plane = np.ascontiguousarray(arr[:, :, p])
+                for y0 in range(0, h, rows_per_strip):
+                    nrows = min(rows_per_strip, h - y0)
+                    strips.append(
+                        _encode_segment(
+                            plane[y0 : y0 + nrows].tobytes(), w, compression
+                        )
+                    )
+        else:
+            strips = []
+            for y0 in range(0, h, rows_per_strip):
+                nrows = min(rows_per_strip, h - y0)
+                raw = samples[y0 * row_bytes : (y0 + nrows) * row_bytes]
+                strips.append(_encode_segment(raw, row_bytes, compression))
         strip_offs = []
         for s in strips:
             strip_offs.append(len(out))
@@ -448,11 +577,23 @@ def encode_tiff(
             (258, 3, [8] * ch),
             (259, 3, [compression]),
             (262, 3, [photo]),
-            (273, 4, strip_offs),
             (277, 3, [ch]),
-            (278, 4, [rows_per_strip]),
-            (279, 4, [len(s) for s in strips]),
         ]
+        if tile_size is not None:
+            tag_data += [
+                (322, 4, [tile_size]),
+                (323, 4, [tile_size]),
+                (324, 4, strip_offs),
+                (325, 4, [len(s) for s in strips]),
+            ]
+        else:
+            tag_data += [
+                (273, 4, strip_offs),
+                (278, 4, [rows_per_strip]),
+                (279, 4, [len(s) for s in strips]),
+            ]
+            if planar == 2:
+                tag_data.append((284, 3, [2]))
         if ch == 4:
             tag_data.append((338, 3, [2]))  # ExtraSamples: unassoc alpha
         for tag, typ, values in sorted(tag_data):

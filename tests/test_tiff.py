@@ -146,3 +146,50 @@ def test_totality_on_garbage():
             assert 0 < w and 0 < h and len(s) == w * h * c
         except TiffError:
             pass  # typed — never struct.error/IndexError/KeyError
+
+
+# ------------------------------------------------- tiled / planar-2 (r5)
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+@pytest.mark.parametrize("ch", [1, 3])
+def test_tiled_roundtrip(comp, ch):
+    """TIFF 6.0 §15 tiled layout: non-multiple-of-tile dimensions force
+    zero-padded edge tiles on both axes."""
+    rng = np.random.default_rng(400 + comp + ch)
+    w, h = 75, 41  # 16x16 tiles -> 5 x 3 grid, padded right + bottom
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    img[:10] = 64
+    data = encode_tiff([(w, h, ch, img.tobytes())], compression=comp,
+                       tile_size=16)
+    w2, h2, ch2, s = decode_tiff(data)
+    assert (w2, h2, ch2) == (w, h, ch)
+    assert s == img.tobytes()
+
+
+@pytest.mark.parametrize("comp", [1, 5, 32773])
+def test_planar2_roundtrip(comp):
+    """PlanarConfiguration 2: per-component strip planes interleave
+    back to the same samples the planar-1 writer produces."""
+    rng = np.random.default_rng(500 + comp)
+    w, h = 53, 37
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = encode_tiff([(w, h, 3, img.tobytes())], compression=comp,
+                       rows_per_strip=16, planar=2)
+    w2, h2, ch2, s = decode_tiff(data)
+    assert (w2, h2, ch2) == (w, h, 3)
+    assert s == img.tobytes()
+
+
+def test_tiled_totality_on_garbage():
+    """Bit-flip sweep over a valid tiled file stays typed-total."""
+    src = np.arange(48 * 32, dtype=np.uint8).reshape(32, 48, 1)
+    ok = encode_tiff([(48, 32, 1, src.tobytes())], tile_size=16)
+    for i in range(4, len(ok), 5):
+        b = bytearray(ok)
+        b[i] ^= 0xFF
+        try:
+            w, h, c, s = decode_tiff(bytes(b))
+            assert 0 < w and 0 < h and len(s) == w * h * c
+        except TiffError:
+            pass  # typed — never struct.error/IndexError/KeyError
