@@ -504,6 +504,15 @@ def page_blocks(page: PdfPage) -> list[Block]:
         tb.page_no = page.page_no
     if not lines and not table_blocks:
         return []
+    # form pages re-block at line granularity (row-major label/value
+    # grids); every other page takes the generic column merge below
+    form_blocks = _form_reblock(lines, med_h, page.page_no)
+    if form_blocks is not None:
+        blocks = resolve_overlapping_blocks(form_blocks)
+        return _interleave_extras(
+            blocks, table_blocks, _picture_blocks(page), stable=True,
+            page_w=page.width,
+        )
     cols = _cluster_columns(lines, page.width)
     order = sorted(range(len(lines)), key=lambda i: (cols[i], lines[i].t, lines[i].l))
 
@@ -551,9 +560,17 @@ def page_blocks(page: PdfPage) -> list[Block]:
     # P14: collapse duplicate/contained blocks (no-op for the disjoint
     # vertical clusters above; load-bearing once model clusters exist)
     blocks = resolve_overlapping_blocks(blocks)
-    # picture blocks from bitmap rects (reference: layout model PICTURE
-    # clusters; full-page pictures dropped >90% area like
-    # layout_postprocessor.py:324-335, specks below 0.5% ignored)
+    blocks = _interleave_extras(
+        blocks, table_blocks, _picture_blocks(page), stable=False,
+        page_w=page.width,
+    )
+    return _form_row_reorder(blocks)
+
+
+def _picture_blocks(page: PdfPage) -> list[Block]:
+    """Picture blocks from bitmap rects (reference: layout model
+    PICTURE clusters; full-page pictures dropped >90% area like
+    layout_postprocessor.py:324-335, specks below 0.5% ignored)."""
     picture_blocks: list[Block] = []
     page_area = max(page.width * page.height, 1.0)
     for l, bb, r, tt in page.bitmap_rects:
@@ -573,18 +590,165 @@ def page_blocks(page: PdfPage) -> list[Block]:
                 size=0.0,
             )
         )
+    return picture_blocks
+
+
+def _interleave_extras(
+    blocks: list[Block],
+    table_blocks: list[Block],
+    picture_blocks: list[Block],
+    stable: bool,
+    page_w: float,
+) -> list[Block]:
+    """Re-interleave tables/pictures into reading order. Generic pages
+    re-sort everything by (column, t, l) — every block joins the column
+    its left edge starts in (full-width -> 0), the same geometric rule
+    _cluster_columns applies to lines. Form pages (stable=True) must
+    NOT be re-sorted — their row-major label/value order is the point —
+    so extras are inserted at their top coordinate instead."""
     extra = table_blocks + picture_blocks
-    if extra:
-        # re-interleave tables/pictures into reading order: every block
-        # joins the column its left edge starts in (full-width -> 0),
-        # the same geometric rule _cluster_columns applies to lines
-        mid = page.width / 2
+    if not extra:
+        return blocks
+    if stable:
+        for e in sorted(extra, key=lambda b: b.t):
+            idx = next(
+                (i for i, b in enumerate(blocks) if b.t > e.t), len(blocks)
+            )
+            blocks.insert(idx, e)
+        return blocks
+    mid = page_w / 2
 
-        def key(b: Block) -> tuple:
-            return (1 if b.l > mid * 0.96 and b.r > mid else 0, b.t, b.l)
+    def key(b: Block) -> tuple:
+        return (1 if b.l > mid * 0.96 and b.r > mid else 0, b.t, b.l)
 
-        blocks = sorted(blocks + extra, key=key)
-    return _form_row_reorder(blocks)
+    return sorted(blocks + extra, key=key)
+
+
+def _cells_block(cells: list[TextCell], page_no: int) -> Block | None:
+    """One Block from a group of line cells (same construction as the
+    generic merge's flush())."""
+    text = sanitize_lines([c.text for c in cells])
+    if not text:
+        return None
+    return Block(
+        kind="text",
+        text=text,
+        level=0,
+        page_no=page_no,
+        l=min(c.l for c in cells),
+        t=min(c.t for c in cells),
+        r=max(c.r for c in cells),
+        b=max(c.b for c in cells),
+        size=max(c.size for c in cells),
+        parse_score=page_parse_score([c.text for c in cells]),
+        bold=sum(len(c.text) for c in cells if c.bold) * 2
+        > (sum(len(c.text) for c in cells) or 1),
+    )
+
+
+def _form_reblock(
+    lines: list[TextCell], med_h: float, page_no: int
+) -> list[Block] | None:
+    """rb-model form-grid ordering at LINE granularity
+    (readingorder_model.py:106-334 routes clusters through a
+    table-aware predictor): on a form page, label/value cells of one
+    grid row must stay together — the generic column-merge would fuse
+    a whole label COLUMN into one block first, making row-major order
+    unrecoverable downstream (r4's block-level _form_row_reorder
+    plateaued at 0.61 on rtl_03 for exactly this reason).
+
+    Gate (conservative — ordinary 1/2-column text pages must never
+    trip it): >= 4 visual rows holding horizontally-disjoint segments
+    in >= 2 stable columns, each starting after a >= 0.45x line-height
+    gap (form-cell padding), covering >= 40% of the page's rows, with
+    at most sep/3 tightly-packed paired rows. Dense two-column text
+    pairs lines at ~0.1-0.3x gaps, so it fails the separation test.
+
+    Build: a paired row opens a form row; an unpaired row whose
+    segments all land in columns the open form row already has, at
+    <= 1.2x line-height, is a cell continuation (wrapped label/value
+    text); anything else flushes the form row and stands alone. Flush
+    emits one block per column, direction-first (RTL: right column =
+    label first, like the reference's groundtruth)."""
+    cells = [c for c in lines if c.text.strip()]
+    if len(cells) < 8:
+        return None
+    rows = _group_rows(sorted(cells, key=lambda c: (c.t, c.l)))
+    rows = [sorted(r, key=lambda c: c.l) for r in rows]
+
+    def disjoint(r: list[TextCell]) -> bool:
+        return all(r[k + 1].l >= r[k].r - 1.0 for k in range(len(r) - 1))
+
+    cand = [r for r in rows if len(r) >= 2 and disjoint(r)]
+    if len(cand) < 4:
+        return None
+    cols = _interval_columns([(c.l, c.r) for r in cand for c in r])
+    if len(cols) < 2:
+        return None
+
+    def col_of(c: TextCell) -> int:
+        lo, hi = _col_range(cols, c.l, c.r)
+        return lo if hi - lo == 1 else -1  # column-spanning: standalone
+
+    meta = []  # (row, colset, gap_to_prev_row, paired)
+    prev_bot = None
+    for r in rows:
+        colset = {col_of(c) for c in r}
+        top = min(c.t for c in r)
+        gap = 1e9 if prev_bot is None else top - prev_bot
+        paired = len([x for x in colset if x >= 0]) >= 2 and disjoint(r)
+        meta.append((r, colset, gap, paired))
+        prev_bot = max(c.b for c in r)
+
+    sep_gap = 0.45 * max(med_h, 1.0)
+    sep = sum(1 for _, _, gap, p in meta if p and gap >= sep_gap)
+    tight = sum(1 for _, _, gap, p in meta if p and gap < sep_gap)
+    if sep < 4 or sep < 0.4 * len(rows) or tight * 3 > sep:
+        return None
+
+    import unicodedata
+
+    txt = "".join(c.text for c in cells)
+    rtl = sum(
+        1 for ch in txt if unicodedata.bidirectional(ch) in ("R", "AL", "AN")
+    ) > 0.3 * max(len(txt), 1)
+
+    out: list[Block] = []
+    open_row: dict[int, list[TextCell]] | None = None
+
+    def flush_form() -> None:
+        nonlocal open_row
+        if not open_row:
+            open_row = None
+            return
+        for col in sorted(open_row, reverse=rtl):
+            blk = _cells_block(open_row[col], page_no)
+            if blk is not None:
+                out.append(blk)
+        open_row = None
+
+    join_gap = 1.2 * max(med_h, 1.0)
+    for r, colset, gap, paired in meta:
+        if paired:
+            flush_form()
+            open_row = {}
+            for c in r:
+                open_row.setdefault(col_of(c), []).append(c)
+            continue
+        if (
+            open_row is not None
+            and gap <= join_gap
+            and all(col_of(c) in open_row for c in r)
+        ):
+            for c in r:
+                open_row[col_of(c)].append(c)
+            continue
+        flush_form()
+        blk = _cells_block(list(r), page_no)
+        if blk is not None:
+            out.append(blk)
+    flush_form()
+    return out
 
 
 def _form_row_reorder(blocks: list[Block]) -> list[Block]:

@@ -835,3 +835,64 @@ def test_double_draw_glyph_dedup():
     ]
     texts = [c.text for c in merge_horizontal_cells(pages)]
     assert texts == ["footer", "body text"]
+
+
+def test_form_reblock_line_granularity():
+    """_form_reblock (r5): on a form page, label/value cells of one
+    grid row emit row-major at LINE granularity — wrapped cell lines
+    join their cell, section headers between rows stand alone — and
+    the gate never trips on dense two-column text (which would shred
+    paragraphs into interleaved line pairs)."""
+    from docling_spark.kernels.pdf_kernel import TextCell
+    from docling_spark.kernels.pdf_layout import _form_reblock
+
+    def cell(text, l, t, r, bold=False, size=12.0, h=12.0):
+        # pdf_layout works in TOP-LEFT origin (t < b)
+        return TextCell(text, l, t + h, r, t, size, bold=bold)
+
+    med_h = 12.0
+    # RTL-free form (labels left, values right), 5 rows 20pt apart
+    # (gap 8 = 0.67x med_h > the 0.45x separation bar), one wrapped
+    # value line, one standalone header between rows 2 and 3
+    lines = []
+    y = 100.0
+    for i in range(5):
+        lines.append(cell(f"label {i}", 60, y, 200, bold=True))
+        lines.append(cell(f"value {i}", 320, y, 500))
+        if i == 1:
+            lines.append(cell("value 1 wrapped", 320, y + 15, 460))
+            y += 15
+        if i == 2:
+            y += 40
+            lines.append(cell("Section header", 60, y, 240, bold=True))
+            y += 20
+        y += 20
+    out = _form_reblock(lines, med_h, page_no=1)
+    assert out is not None
+    texts = [b.text for b in out]
+    assert texts == [
+        "label 0", "value 0",
+        "label 1", "value 1 value 1 wrapped",
+        "label 2", "value 2",
+        "Section header",
+        "label 3", "value 3",
+        "label 4", "value 4",
+    ]
+
+    # dense two-column text: lines pair at every y but with ~0.25x
+    # line-height leading -> separation gate must refuse
+    dense = []
+    for i in range(12):
+        y = 100 + i * 15  # gap 3 = 0.25x med_h
+        dense.append(cell(f"left line {i}", 60, y, 280))
+        dense.append(cell(f"right line {i}", 320, y, 540))
+    assert _form_reblock(dense, med_h, page_no=1) is None
+
+    # sparse two-column text (big leading) but only 3 separated pairs:
+    # below the >= 4 bar -> refuse
+    few = []
+    for i in range(3):
+        y = 100 + i * 30
+        few.append(cell(f"l{i}", 60, y, 280))
+        few.append(cell(f"r{i}", 320, y, 540))
+    assert _form_reblock(few, med_h, page_no=1) is None

@@ -310,8 +310,10 @@ def test_real_world_pdf_fixtures_reading_order():
         "right_to_left_01": 0.86,  # r4: lam-alef ligature kept atomic
         "right_to_left_02": 0.86,  # through the visual->logical flip;
         # faux-bold double-draw glyphs deduped like pdfium
-        "right_to_left_03": 0.63,  # r4: form pages emit label/value
-        # pairs row-major (_form_row_reorder) like the rb model
+        "right_to_left_03": 0.94,  # r5: form pages re-block at LINE
+        # granularity (_form_reblock) — label/value cells of one grid
+        # row stay paired row-major like the rb model (measured 0.974;
+        # r4's block-level reorder plateaued at 0.61)
     }
 
     def toks(s):
