@@ -264,8 +264,10 @@ class _TreeParser(HTMLParser):
     def _append_text(self, data: str, cls=TextNode) -> None:
         if data == "":
             return
-        if cls is TextNode and self._pre_depth == 0 and not data.strip():
+        if cls is TextNode and self._pre_depth == 0 and data.isspace():
             # bs4 collapses whitespace-only strings outside pre/textarea
+            # (isspace on nonempty data == `not data.strip()`, without
+            # the throwaway string allocation)
             data = "\n" if "\n" in data else " "
         self.stack[-1].append(cls(data))
 
@@ -319,13 +321,20 @@ class _TreeParser(HTMLParser):
                 open_tag.watch |= bit
 
     def handle_endtag(self, tag: str) -> None:
+        # fast path: well-formed HTML closes the innermost tag
+        stack = self.stack
+        if len(stack) > 1 and stack[-1].name == tag:
+            if tag in PRESERVE_WHITESPACE_TAGS:
+                self._pre_depth -= 1
+            del stack[-1]
+            return
         # pop to the nearest matching open tag; ignore if unmatched
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].name == tag:
-                for popped in self.stack[i:]:
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i].name == tag:
+                for popped in stack[i:]:
                     if popped.name in PRESERVE_WHITESPACE_TAGS:
                         self._pre_depth -= 1
-                del self.stack[i:]
+                del stack[i:]
                 return
 
 
@@ -388,7 +397,10 @@ def _fast_feed(self: "_TreeParser", rawdata: str) -> None:  # noqa: C901
             if j < 0:
                 j = n
             if i < j:
-                handle_data(_unescape(rawdata[i:j]))
+                seg = rawdata[i:j]
+                # html.unescape is a no-op without "&"; the C substring
+                # scan here skips the call for the common case
+                handle_data(_unescape(seg) if "&" in seg else seg)
         else:
             m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
             if m is None:
