@@ -123,11 +123,32 @@ def _merge_group(group: list[TextCell]) -> TextCell:
         return group[0]
     ordered = sorted(group, key=lambda c: c.l)
     texts = [c.text for c in ordered]
+
+    def _is_rtl_ch(ch: str) -> bool:
+        import unicodedata
+
+        return unicodedata.bidirectional(ch) in ("R", "AL")
+
     seps = []
     for prev, cur in zip(ordered, ordered[1:]):
         gap = cur.l - prev.r
         size = max(min(prev.size, cur.size), 1.0)
-        seps.append(" " if gap > size * _WORD_GAP_EM else "")
+        if gap > size * _WORD_GAP_EM:
+            seps.append(" ")
+        elif (
+            prev.text
+            and cur.text
+            and prev.text[-1].isalnum()
+            and cur.text[0].isalnum()
+            and _is_rtl_ch(prev.text[-1]) != _is_rtl_ch(cur.text[0])
+        ):
+            # a script-direction flip is a word boundary even when the
+            # glyphs sit kerning-close: pdfium emits a space between an
+            # embedded latin word and the surrounding arabic (reference
+            # groundtruth right_to_left_01: "و python", never "وpython")
+            seps.append(" ")
+        else:
+            seps.append("")
     parts = [texts[0]]
     for sep, t in zip(seps, texts[1:]):
         parts.append(sep)
@@ -305,13 +326,22 @@ class Block:
     bold: bool = False
 
 
-def _cluster_columns(lines: list[TextCell], page_w: float) -> list[int]:
-    """Assign each line a column index: 0 for full-width/left, 1 for
-    lines living entirely in the right half of a two-column layout."""
+def _cluster_columns(
+    lines: list[TextCell], page_w: float, rtl: bool = False
+) -> list[int]:
+    """Assign each line a column index: 0 for full-width/primary, 1 for
+    lines living entirely in the secondary half of a two-column layout.
+    On an RTL page the mirror rule applies — text is right-aligned, so
+    a short line hugging the RIGHT margin is a paragraph's last line
+    (it must stay with its column-0 paragraph), while a line living
+    entirely in the LEFT half is the secondary column."""
     cols = []
     mid = page_w / 2
     for ln in lines:
-        cols.append(1 if ln.l > mid * 0.96 and ln.r > mid else 0)
+        if rtl:
+            cols.append(1 if ln.r < mid * 1.04 and ln.l < mid else 0)
+        else:
+            cols.append(1 if ln.l > mid * 0.96 and ln.r > mid else 0)
     return cols
 
 
@@ -513,7 +543,15 @@ def page_blocks(page: PdfPage) -> list[Block]:
             blocks, table_blocks, _picture_blocks(page), stable=True,
             page_w=page.width,
         )
-    cols = _cluster_columns(lines, page.width)
+    import unicodedata
+
+    page_txt = "".join(ln.text for ln in lines)
+    page_rtl = sum(
+        1
+        for ch in page_txt
+        if unicodedata.bidirectional(ch) in ("R", "AL", "AN")
+    ) > 0.3 * max(len(page_txt), 1)
+    cols = _cluster_columns(lines, page.width, rtl=page_rtl)
     order = sorted(range(len(lines)), key=lambda i: (cols[i], lines[i].t, lines[i].l))
 
     blocks: list[Block] = []

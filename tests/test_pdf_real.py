@@ -307,9 +307,11 @@ def test_real_world_pdf_fixtures_reading_order():
         # reference's own "/gNN" and GLYPH<c=..,font=..> garbage on
         # symbol-font bullets is now reproduced verbatim (measured
         # 0.913; r4 was 0.87 with the garbage dropped)
-        "right_to_left_01": 0.86,  # r4: lam-alef ligature kept atomic
-        "right_to_left_02": 0.86,  # through the visual->logical flip;
-        # faux-bold double-draw glyphs deduped like pdfium
+        "right_to_left_01": 0.93,  # r5: script-boundary word spaces
+        # ("و python") + mirrored RTL column rule (right-aligned last
+        # lines stay with their paragraph) — measured 0.960
+        "right_to_left_02": 0.86,  # r4: lam-alef ligature kept atomic
+        # through the visual->logical flip; faux-bold glyphs deduped
         "right_to_left_03": 0.94,  # r5: form pages re-block at LINE
         # granularity (_form_reblock) — label/value cells of one grid
         # row stay paired row-major like the rb model (measured 0.974;
