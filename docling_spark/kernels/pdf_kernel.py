@@ -908,6 +908,12 @@ class TextCell:
     # bold weight from the showing font's BaseFont name — the visual
     # cue the layout model uses for same-size section headings
     bold: bool = False
+    # content-stream draw order (cell position in the page's cell
+    # list). The reference's reading-order model receives cells with
+    # their ids in this order (readingorder_model.py:60-70) and
+    # preserves it between geometrically-tied clusters; layout rules
+    # use it the same way to order side-by-side tiles.
+    index: int = -1
 
 
 @dataclass
@@ -937,8 +943,9 @@ class PdfPage:
                 c.size,
                 from_ocr=c.from_ocr,
                 bold=c.bold,
+                index=i,
             )
-            for c in self.cells
+            for i, c in enumerate(self.cells)
         ]
 
 

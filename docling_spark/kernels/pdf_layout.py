@@ -163,6 +163,7 @@ def _merge_group(group: list[TextCell]) -> TextCell:
         b=max(c.b for c in group),
         size=max(c.size for c in group),
         bold=n_bold * 2 > n_all,
+        index=min((c.index for c in group if c.index >= 0), default=-1),
     )
 
 
@@ -551,6 +552,15 @@ def page_blocks(page: PdfPage) -> list[Block]:
         for ch in page_txt
         if unicodedata.bidirectional(ch) in ("R", "AL", "AN")
     ) > 0.3 * max(len(page_txt), 1)
+    tile_blocks, lines = _tile_band_blocks(
+        lines, page.width, med_h, page.page_no
+    )
+    if not lines:
+        blocks = resolve_overlapping_blocks(tile_blocks)
+        return _interleave_extras(
+            blocks, table_blocks, _picture_blocks(page), stable=False,
+            page_w=page.width,
+        )
     cols = _cluster_columns(lines, page.width, rtl=page_rtl)
     order = sorted(range(len(lines)), key=lambda i: (cols[i], lines[i].t, lines[i].l))
 
@@ -599,8 +609,8 @@ def page_blocks(page: PdfPage) -> list[Block]:
     # vertical clusters above; load-bearing once model clusters exist)
     blocks = resolve_overlapping_blocks(blocks)
     blocks = _interleave_extras(
-        blocks, table_blocks, _picture_blocks(page), stable=False,
-        page_w=page.width,
+        blocks, table_blocks + tile_blocks, _picture_blocks(page),
+        stable=False, page_w=page.width,
     )
     return _form_row_reorder(blocks)
 
@@ -682,6 +692,87 @@ def _cells_block(cells: list[TextCell], page_no: int) -> Block | None:
         bold=sum(len(c.text) for c in cells if c.bold) * 2
         > (sum(len(c.text) for c in cells) or 1),
     )
+
+
+_TILE_MAX_W = 0.30  # a tile column is NARROW (box/card, not a text column)
+
+
+def _tile_band_blocks(
+    lines: list[TextCell], page_w: float, med_h: float, page_no: int
+) -> tuple[list[Block], list[TextCell]]:
+    """Side-by-side TILE GRIDS -> one block each, columns in draw order.
+
+    Pattern (right_to_left_02's four goal boxes): consecutive visual
+    rows of >= 3 narrow, horizontally-disjoint segments whose
+    x-intervals align into stable columns. The generic y-sweep would
+    interleave the tiles line-by-line across the page; the reference's
+    reading-order model (readingorder_model.py:106-334) keeps each
+    tile atomic and emits the whole band as one text item with tiles
+    in their cells' id order — i.e. content-stream DRAW order
+    (verified on right_to_left_02: groundtruth box order 591 < 619 <
+    657 < 693 is neither an x- nor a y-sort). detect_tables cannot
+    claim these bands (< 3 core rows), and two-column body text never
+    trips the narrowness gate (its columns are ~0.45 x page width).
+
+    Returns (tile blocks, lines not in any band).
+    """
+    cells = [c for c in lines if c.text.strip()]
+    if len(cells) < 6:
+        return [], lines
+    rows = _group_rows(sorted(cells, key=lambda c: (c.t, c.l)))
+    rows = [sorted(r, key=lambda c: c.l) for r in rows]
+
+    def tile_row(r: list[TextCell]) -> bool:
+        return (
+            len(r) >= 3
+            and all(r[k + 1].l >= r[k].r - 1.0 for k in range(len(r) - 1))
+            and all(c.r - c.l <= _TILE_MAX_W * page_w for c in r)
+        )
+
+    out: list[Block] = []
+    consumed: set[int] = set()
+    i = 0
+    while i < len(rows):
+        if not tile_row(rows[i]):
+            i += 1
+            continue
+        j = i
+        while (
+            j + 1 < len(rows)
+            and tile_row(rows[j + 1])
+            and min(c.t for c in rows[j + 1]) - max(c.b for c in rows[j])
+            <= 0.9 * max(med_h, 1.0)
+        ):
+            j += 1
+        band = [c for k in range(i, j + 1) for c in rows[k]]
+        if j > i:
+            cols = _interval_columns([(c.l, c.r) for c in band])
+            by_col: dict[int, list[TextCell]] = {}
+            ok = len(cols) >= 3
+            if ok:
+                for c in band:
+                    lo, hi = _col_range(cols, c.l, c.r)
+                    if hi - lo != 1:  # column-spanning: not a tile grid
+                        ok = False
+                        break
+                    by_col.setdefault(lo, []).append(c)
+            if ok and all(len(g) >= 2 for g in by_col.values()):
+                ordered: list[TextCell] = []
+                for col in sorted(
+                    by_col,
+                    key=lambda col: min(c.index for c in by_col[col])
+                    if all(c.index >= 0 for c in by_col[col])
+                    else cols[col][0],
+                ):
+                    ordered.extend(sorted(by_col[col], key=lambda c: c.t))
+                blk = _cells_block(ordered, page_no)
+                if blk is not None:
+                    out.append(blk)
+                    consumed.update(id(c) for c in band)
+        i = j + 1
+    if not out:
+        return [], lines
+    return out, [ln for ln in lines if id(ln) not in consumed]
 
 
 def _form_reblock(

@@ -338,6 +338,45 @@ def test_detect_tables_constructed_golden():
     assert all("paragraph" in ln.text or "prose" in ln.text for ln in remaining)
 
 
+def test_tile_band_draw_order():
+    """A band of >= 3 narrow side-by-side tiles emits as ONE block with
+    tiles in content-stream DRAW order, each tile's lines kept together
+    (reference: readingorder_model keeps geometrically-tied clusters in
+    cell-id order; verified on right_to_left_02 where the groundtruth
+    box order 591 < 619 < 657 < 693 is neither an x- nor a y-sort)."""
+    from docling_spark.kernels.pdf_layout import _tile_band_blocks
+
+    def cell(text, l, t, index):
+        c = _tl_cell(text, l, t, w=50.0, h=10.0)
+        c.index = index
+        return c
+
+    # three 2-line tiles at x 0/100/200; drawn middle, right, left
+    lines = [
+        cell("mid1", 100, 0, 0), cell("mid2", 100, 12, 1),
+        cell("right1", 200, 0, 2), cell("right2", 200, 12, 3),
+        cell("left1", 0, 0, 4), cell("left2", 0, 12, 5),
+        _tl_cell("a normal full-width body paragraph line", 0, 60, w=500),
+    ]
+    tiles, remaining = _tile_band_blocks(lines, page_w=800.0, med_h=10.0, page_no=1)
+    assert len(tiles) == 1
+    assert tiles[0].text == "mid1 mid2 right1 right2 left1 left2"
+    assert [c.text for c in remaining] == ["a normal full-width body paragraph line"]
+
+
+def test_tile_band_leaves_two_column_text_alone():
+    """Two-column body text (wide segments) and 2-tile rows never trip
+    the tile gate — only >= 3 NARROW aligned columns qualify."""
+    from docling_spark.kernels.pdf_layout import _tile_band_blocks
+
+    lines = []
+    for i in range(6):
+        lines.append(_tl_cell(f"left col line {i}", 72, 90 + i * 12, w=220))
+        lines.append(_tl_cell(f"right col line {i}", 320, 90 + i * 12, w=220))
+    tiles, remaining = _tile_band_blocks(lines, page_w=612.0, med_h=10.0, page_no=1)
+    assert tiles == [] and len(remaining) == 12
+
+
 def test_detect_tables_ignores_two_column_text():
     """Two-column body text (2 wide segments per visual row) must NOT
     be mistaken for a table."""

@@ -310,8 +310,11 @@ def test_real_world_pdf_fixtures_reading_order():
         "right_to_left_01": 0.93,  # r5: script-boundary word spaces
         # ("و python") + mirrored RTL column rule (right-aligned last
         # lines stay with their paragraph) — measured 0.960
-        "right_to_left_02": 0.86,  # r4: lam-alef ligature kept atomic
-        # through the visual->logical flip; faux-bold glyphs deduped
+        "right_to_left_02": 0.89,  # r5: the four side-by-side "goal
+        # box" tiles emit as ONE block with tiles in content-stream
+        # draw order (_tile_band_blocks) exactly like the reference's
+        # rb-model output — measured 0.921. r4: lam-alef ligature kept
+        # atomic through the visual->logical flip; faux-bold deduped
         "right_to_left_03": 0.94,  # r5: form pages re-block at LINE
         # granularity (_form_reblock) — label/value cells of one grid
         # row stay paired row-major like the rb model (measured 0.974;
