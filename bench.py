@@ -88,18 +88,19 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
-        # G1 defaults to ~23 parallel GC threads on a 32-core box; those
-        # thrash against 32 task threads + 32 python workers and collapse
-        # throughput ~4x (measured). Pin GC parallelism like a production
-        # executor JVM would.
+        # GC parallelism scaled to the level like executor-JVM
+        # ergonomics (cpus/2 parallel, cpus/8 concurrent). Round-5
+        # interleaved A/B on the 20k corpus: the old task.cpus=2 + GC=8
+        # tuning cost ~40% at local[32] (434 -> 713 docs/s) once the
+        # extraction kernel got faster — the Python worker is now the
+        # bottleneck, so halving task slots idles cores and 8 GC
+        # threads throttle a 32-core heap.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+            f"-XX:ParallelGCThreads={max(4, cpus // 2)} "
+            f"-XX:ConcGCThreads={max(2, cpus // 8)}",
         )
-        # each Python-UDF task = 1 JVM thread + 1 python worker process;
-        # reserving 2 cores per task keeps runnable threads == cores
-        # (measured 2x extraction throughput at local[32])
-        .config("spark.task.cpus", "2")
+        .config("spark.task.cpus", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .getOrCreate()
