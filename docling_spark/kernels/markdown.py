@@ -212,7 +212,10 @@ class MarkdownSerializer:
             return out
 
         if kind in (TITLE, SECTION_HEADER):
-            prefix = "#" if kind == TITLE else "#" * (node.level + 1)
+            # markdown has exactly 6 heading levels; deeper section
+            # levels (font-size-ranked PDF hierarchies can nest past
+            # 5) clamp to ###### instead of emitting invalid md
+            prefix = "#" if kind == TITLE else "#" * min(node.level + 1, 6)
             head = _render_inline(node)
             inline_children = [
                 c for c in doc.children_of(node)

@@ -548,15 +548,6 @@ class PdfDocument:
             if isinstance(d0, dict):
                 base = self.resolve(d0.get("BaseFont"))
         fi.base_font = str(base or "")
-        bname = fi.base_font.lower()
-        # strip the subset prefix (AAAAAB+SFBX1000 -> sfbx1000); TeX
-        # faces encode weight positionally: cmbx/sfbx = bold extended,
-        # cmb = bold — alongside the usual Bold/Black/Heavy names
-        bname = bname.rsplit("+", 1)[-1]
-        fi.bold = bool(
-            any(k in bname for k in ("bold", "black", "heavy", "semibold", "demi"))
-            or re.search(r"(?:cm|sf)bx?\d", bname)
-        )
         subtype = str(self.resolve(fd.get("Subtype")))
         if subtype == "Type0":
             fi.code_bytes = 2
@@ -565,6 +556,14 @@ class PdfDocument:
             if isinstance(desc, list) and desc:
                 df = self.resolve(desc[0])
                 if isinstance(df, dict):
+                    # docling-parse reports the DESCENDANT CIDFont's
+                    # BaseFont (subset-prefixed face name) rather than
+                    # the composite's "...-Identity-H" alias — the
+                    # name its GLYPH<c=..,font=..> markers carry
+                    # (groundtruth redp5110_sampled.md:91)
+                    dbase = self.resolve(df.get("BaseFont"))
+                    if dbase is not None and str(dbase):
+                        fi.base_font = str(dbase)
                     dw = self.resolve(df.get("DW"))
                     if isinstance(dw, (int, float)):
                         fi.default_width = float(dw)
@@ -614,6 +613,15 @@ class PdfDocument:
                     w = self.resolve(w)
                     if isinstance(w, (int, float)):
                         fi.widths[first_char + j] = float(w)
+        bname = fi.base_font.lower()
+        # strip the subset prefix (AAAAAB+SFBX1000 -> sfbx1000); TeX
+        # faces encode weight positionally: cmbx/sfbx = bold extended,
+        # cmb = bold — alongside the usual Bold/Black/Heavy names
+        bname = bname.rsplit("+", 1)[-1]
+        fi.bold = bool(
+            any(k in bname for k in ("bold", "black", "heavy", "semibold", "demi"))
+            or re.search(r"(?:cm|sf)bx?\d", bname)
+        )
         tu = fd.get("ToUnicode")
         if isinstance(tu, Ref) and tu.num in self.objects:
             try:
@@ -823,10 +831,19 @@ class FontInfo:
                 code = (raw[i] << 8) | raw[i + 1]
                 if self.to_unicode is not None and code in self.to_unicode:
                     out.append((code, self.to_unicode[code].translate(_LIGATURES)))
-                else:
+                elif 32 <= code < 0xD800:
                     # no ToUnicode: CID is a glyph id — garbled output
                     # by design, caught by the quality score downstream
-                    out.append((code, chr(code) if 32 <= code < 0xD800 else "�"))
+                    out.append((code, chr(code)))
+                else:
+                    # an unmappable control CID is never real text:
+                    # docling-parse emits its GLYPH<c=..,font=..>
+                    # marker (groundtruth redp5110_sampled.md:91 —
+                    # the Redbook bullet is CID 1 in the unsubtitled
+                    # Identity-H Janson face)
+                    out.append(
+                        (code, f"GLYPH<c={code},font=/{self.base_font}>")
+                    )
         else:
             for code in raw:
                 if self.to_unicode is not None and code in self.to_unicode:

@@ -247,7 +247,10 @@ def test_real_world_pdf_fixtures_content_recall():
         # /Differences names kept as "/gNN", GLYPH<c=..,font=..>
         # markers for unmapped control codes) recovers the symbol-font
         # bullet lists the reference also extracts as glyph garbage
-        "redp5110_sampled": 0.93,
+        # 0.94: r5 CID glyph-fallback parity — an unmappable control
+        # CID emits the reference's GLYPH<c=..,font=..> marker with
+        # the DESCENDANT CIDFont's subset name (measured 0.974)
+        "redp5110_sampled": 0.94,
         # RTL floors cover ARABIC words too (round-3 unicode regex;
         # the old [A-Za-z0-9] counter silently ignored them)
         "right_to_left_01": 0.89,
