@@ -373,6 +373,40 @@ def _interval_columns(segs: list[tuple[float, float]]) -> list[tuple[float, floa
     return [(c[0], c[1]) for c in cols]
 
 
+def _refine_columns(
+    cols: list[tuple[float, float]], seg_rows: list[list[TextCell]]
+) -> list[tuple[float, float]]:
+    """Split union-merged columns that the data rows subdivide.
+
+    A column-SPANNING header cell ('TEDs' over simple/complex/all,
+    2305.03393v1-pg9) bridges the gap between real data columns, so
+    the plain interval union fuses them into one wide column and the
+    reconstructed grid loses the split the reference's TableFormer
+    recovers. A unioned interval splits back when >= 2 rows each place
+    >= 2 horizontally disjoint segments fully inside it AND those
+    segments' own union still forms >= 2 intervals (random word gaps
+    in prose cells disagree across rows, so their union stays one
+    interval and nothing splits)."""
+    out: list[tuple[float, float]] = []
+    for L, R in cols:
+        sub_rows = 0
+        inside_all: list[tuple[float, float]] = []
+        for r in seg_rows:
+            inside = [
+                (c.l, c.r) for c in r if c.l >= L - 0.5 and c.r <= R + 0.5
+            ]
+            if len(inside) >= 2:
+                sub_rows += 1
+                inside_all.extend(inside)
+        if sub_rows >= 2:
+            sub = _interval_columns(inside_all)
+            if len(sub) >= 2:
+                out.extend(sub)
+                continue
+        out.append((L, R))
+    return out
+
+
 def _col_range(cols: list[tuple[float, float]], l: float, r: float) -> tuple[int, int]:
     """(start_col, end_col) of the columns an x-interval overlaps."""
     lo = hi = None
@@ -453,6 +487,7 @@ def detect_tables(
         cols = _interval_columns(
             [(c.l, c.r) for k in member_rows if core[k] for c in rows[k]]
         )
+        cols = _refine_columns(cols, [rows[k] for k in member_rows if core[k]])
         if len(cols) < _TBL_MIN_COLS:
             continue
         # merge adjacent visual rows with disjoint column sets
@@ -466,11 +501,28 @@ def detect_tables(
                 lo, hi = _col_range(cols, c.l, c.r)
                 colset.update(range(lo, hi))
             top = min(c.t for c in segs)
-            if (
-                grid_rows
-                and row_bot is not None
-                and top < row_bot + 0.3 * med_h
-                and not (colset & used_cols)
+            # a cell of the previous grid row reaching INTO this row's
+            # band, in columns this row leaves empty, is a row-spanning
+            # label ('6' centered across its OTSL/HTML sub-rows,
+            # 2305.03393v1-pg9): the sub-rows belong to one logical row
+            # (TableFormer emits them as one, groundtruth pg9.md) —
+            # descender-deep overlaps in used columns never bind
+            span_bind = False
+            if grid_rows:
+                for s in grid_rows[-1]:
+                    if s.b - top <= 0.1 * max(s.b - s.t, 1e-6):
+                        continue
+                    lo, hi = _col_range(cols, s.l, s.r)
+                    if not (set(range(lo, hi)) & colset):
+                        span_bind = True
+                        break
+            if grid_rows and (
+                span_bind
+                or (
+                    row_bot is not None
+                    and top < row_bot + 0.3 * med_h
+                    and not (colset & used_cols)
+                )
             ):
                 grid_rows[-1].extend(segs)
                 used_cols |= colset
@@ -485,7 +537,10 @@ def detect_tables(
             # that unioned two sub-columns): space-join their texts in
             # x-order instead of overwriting — no word may be dropped
             merged: dict[tuple[int, int], list[TextCell]] = {}
-            for c in sorted(segs, key=lambda s: s.l):
+            # (t, l): cells stacked in one grid cell by a row-spanning
+            # bind join top-down ('0.965 0.969'), same-line cells
+            # left-to-right — the reference's in-cell reading order
+            for c in sorted(segs, key=lambda s: (s.t, s.l)):
                 lo, hi = _col_range(cols, c.l, c.r)
                 merged.setdefault((lo, hi), []).append(c)
             for (lo, hi), group in sorted(merged.items()):
