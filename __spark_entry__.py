@@ -411,6 +411,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("c_mktsegment", "rnk")
         )
 
+    def q_order_priority(spark, sf_dir):
+        # TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+        # returned line, counted by priority. left_semi keeps the
+        # probe side unduplicated (no distinct needed), the exact
+        # plan a 100 TB run wants: one shuffle on the join key, no
+        # post-join dedup exchange.
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+        return (
+            orders.join(
+                returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderpriority")
+        )
+
+    def q_idle_customers(spark, sf_dir):
+        # anti-join: customers with no FINALIZED ('F') order, per
+        # market segment (the resume path's plan shape,
+        # q_resume_antijoin, applied relationally; the status filter
+        # keeps the result non-empty at every sf so the oracle hash
+        # is a real witness, not a 0-row tautology).
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        finalized = orders.filter(F.col("o_orderstatus") == "F")
+        return (
+            cust.join(
+                finalized, cust.c_custkey == finalized.o_custkey, "left_anti"
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_idle"),
+                F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
+    def q_ship_lag(spark, sf_dir):
+        # date arithmetic across a big-big join: days between order
+        # and line ship date, aggregated per line status.
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                "l_linestatus",
+                F.datediff("l_shipdate", "o_orderdate").alias("lag_days"),
+            )
+            .groupBy("l_linestatus")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(F.avg("lag_days"), 4).alias("avg_lag_days"),
+                F.max("lag_days").alias("max_lag_days"),
+            )
+            .orderBy("l_linestatus")
+        )
+
+    def q_doc_deciles(spark, sf_dir):
+        # window-function coverage: documents ranked into character
+        # deciles (deterministic tie-break on doc_id), then per-decile
+        # rollup — the partition-all window is the one shape that must
+        # NOT appear in a 100 TB plan unless bounded (here it ranks a
+        # metadata-only projection, not the payload).
+        from pyspark.sql import Window
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+        return (
+            docs.select("doc_id", "n_chars")
+            .withColumn("decile", F.ntile(10).over(w).cast("int"))
+            .groupBy("decile")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+            )
+            .orderBy("decile")
+        )
+
     def q_event_windows(spark, sf_dir):
         # batch twin of the streaming watermarked rollup — identical
         # plan shape on a stream (streaming/stream.py
@@ -545,6 +626,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_customers": q_top_customers,
         "q_events_stats": q_events_stats,
         "q_salted_user_counts": q_salted_user_counts,
+        "q_order_priority": q_order_priority,
+        "q_idle_customers": q_idle_customers,
+        "q_ship_lag": q_ship_lag,
+        "q_doc_deciles": q_doc_deciles,
         "q_event_windows": q_event_windows,
         "q_resume_antijoin": q_resume_antijoin,
     }
@@ -732,6 +817,45 @@ def oracle_sql() -> dict[str, str]:
               from rev)
             select c_mktsegment, cast(rnk as int) as rnk, c_custkey, revenue_cents
             from r where rnk <= 3 order by c_mktsegment, rnk
+        """,
+        "q_order_priority": """
+            select o_orderpriority, cast(count(*) as bigint) as n_orders
+            from orders o
+            where exists (select 1 from lineitem l
+                          where l.l_orderkey = o.o_orderkey
+                            and l.l_returnflag = 'R')
+            group by o_orderpriority order by o_orderpriority
+        """,
+        "q_idle_customers": """
+            select c_mktsegment,
+                   cast(count(*) as bigint) as n_idle,
+                   round(sum(c_acctbal), 2) as sum_acctbal
+            from customer c
+            where not exists (select 1 from orders o
+                              where o.o_custkey = c.c_custkey
+                                and o.o_orderstatus = 'F')
+            group by c_mktsegment order by c_mktsegment
+        """,
+        "q_ship_lag": """
+            select l_linestatus,
+                   cast(count(*) as bigint) as n_lines,
+                   round(avg(date_diff('day', o_orderdate, l_shipdate)), 4)
+                     as avg_lag_days,
+                   cast(max(date_diff('day', o_orderdate, l_shipdate)) as int)
+                     as max_lag_days
+            from lineitem join orders on l_orderkey = o_orderkey
+            group by l_linestatus order by l_linestatus
+        """,
+        "q_doc_deciles": """
+            with d as (
+              select doc_id, n_chars,
+                     ntile(10) over (order by n_chars asc, doc_id asc) as decile
+              from documents)
+            select cast(decile as int) as decile,
+                   cast(count(*) as bigint) as n_docs,
+                   min(n_chars) as min_chars,
+                   max(n_chars) as max_chars
+            from d group by decile order by decile
         """,
         "q_events_stats": """
             select event_type,
