@@ -228,6 +228,16 @@ def main() -> None:
         agg = res.groupBy("status").count().collect()
         n_ok_box[0] = sum(r["count"] for r in agg if r["status"] == "success")
 
+    # one UNTIMED full-size pass first: the tiny-corpus warmup spawns
+    # workers and codegen but leaves the JVM's C2 tier cold on the
+    # Parquet/Arrow hot paths — measured on the 20k corpus, the same
+    # session keeps speeding up for ~4 runs (51.9 -> 41.6 -> ... ->
+    # 25.5 s best-of-5 in jobs/scaling_bench.py). A production
+    # extraction job runs hot for hours, so steady state is the honest
+    # model; the load markers still expose any contended window.
+    for _ in range(2):
+        spark.catalog.clearCache()
+        run_extract()
     med, lo, hi, loads = timed(run_extract, spark=spark)
     timings["extract"] = round(med, 3)
     tmin["extract"] = round(lo, 3)
