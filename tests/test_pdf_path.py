@@ -59,6 +59,36 @@ def test_truncated_pdf_still_parses():
     assert pages and pages[0].cells
 
 
+def test_cid_glyph_fallback_marker():
+    """A Type0 font with no ToUnicode maps printable CIDs through
+    chr() (garbled by design) but emits docling-parse's exact
+    GLYPH<c=..,font=..> marker for control CIDs, carrying the
+    descendant CIDFont's subset-prefixed name (groundtruth
+    redp5110_sampled.md:91: 'rGLYPH&lt;c=1,font=/NKDKKL+...&gt;')."""
+    from docling_spark.kernels.pdf_kernel import FontInfo
+
+    fi = FontInfo(code_bytes=2, base_font="NKDKKL+JansonTextLTStd-Roman")
+    out = fi.decode(b"\x00r\x00\x01")
+    assert out == [
+        (0x72, "r"),
+        (0x01, "GLYPH<c=1,font=/NKDKKL+JansonTextLTStd-Roman>"),
+    ]
+
+
+def test_markdown_heading_level_clamped():
+    """Markdown has six heading levels; font-size-ranked PDF section
+    hierarchies can nest deeper, which must clamp to ###### instead of
+    emitting invalid '#######' prefixes (groundtruth never exceeds
+    ####)."""
+    from docling_spark.kernels.doc_model import Doc
+    from docling_spark.kernels.markdown import to_markdown
+
+    doc = Doc("t")
+    doc.add_heading("Deep", level=12)
+    md = to_markdown(doc)
+    assert md.splitlines()[0] == "###### Deep"
+
+
 def test_merge_horizontal_cells_reference_semantics():
     """pypdfium2_backend.py:155-250: same-row fragments merge when the
     gap <= avg height; the merged text re-decides spaces from glyph
